@@ -1,0 +1,87 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices so
+multi-chip sharding paths are exercised without TPU hardware
+(SURVEY.md §4 — the reference has no test suite at all; this pyramid is new).
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+CAPTIONS = [
+    "a man is playing a guitar",
+    "a man plays the guitar",
+    "someone is playing music on a guitar",
+    "a woman is cooking food in a kitchen",
+    "a woman cooks a meal",
+    "a person is slicing vegetables",
+    "a dog is running in the park",
+    "the dog runs across a field",
+    "a cat is sitting on a couch",
+    "two men are riding bikes down the street",
+    "a man is riding a bike",
+    "children are playing in the water",
+    "a kid plays with a ball",
+    "a man is driving a car",
+    "the car drives down the road",
+    "a group of people are dancing",
+]
+
+
+@pytest.fixture(scope="session")
+def synthetic_msvd(tmp_path_factory):
+    """A tiny on-disk MSVD-shaped dataset: features/{video,audio}/*.npy +
+    metadata/{train,val,test,tiny}.csv + a prebuilt vocab."""
+    import pandas as pd
+
+    from mvc_tpu.data.vocabulary import Vocabulary
+
+    root = tmp_path_factory.mktemp("msvd")
+    (root / "metadata").mkdir()
+    (root / "features" / "video").mkdir(parents=True)
+    (root / "features" / "audio").mkdir(parents=True)
+
+    gen = np.random.default_rng(1234)
+    n_videos = 12
+    rows = []
+    for v in range(n_videos):
+        vid = f"vid{v:03d}_0_10"
+        t = int(gen.integers(3, 9))
+        np.save(root / "features" / "video" / f"{vid}.npy", gen.normal(size=(t, 2048)).astype(np.float32))
+        # Every third clip gets a mismatched/1-frame audio to exercise the
+        # reshape + min-truncation quick fixes.
+        if v % 3 == 0:
+            np.save(root / "features" / "audio" / f"{vid}.npy", gen.normal(size=(128,)).astype(np.float32))
+        else:
+            np.save(root / "features" / "audio" / f"{vid}.npy", gen.normal(size=(t + 1, 128)).astype(np.float32))
+        for c in range(2):
+            cap = CAPTIONS[(2 * v + c) % len(CAPTIONS)]
+            rows.append(
+                {"VideoID": f"vid{v:03d}", "Start": 0, "End": 10, "Source": "clean", "Description": cap}
+            )
+    # One unverified row + one row whose features are missing (dropped by the
+    # integrity filter).
+    rows.append({"VideoID": "vid000", "Start": 0, "End": 10, "Source": "unverified", "Description": "bad row"})
+    rows.append({"VideoID": "ghost", "Start": 0, "End": 10, "Source": "clean", "Description": "missing features"})
+
+    df = pd.DataFrame(rows)
+    for split in ("train", "val", "test"):
+        df.to_csv(root / "metadata" / f"{split}.csv", index=False)
+    df.head(6).to_csv(root / "metadata" / "tiny.csv", index=False)
+
+    vocab = Vocabulary(freq_threshold=1)
+    vocab.build_vocabulary([r["Description"] for r in rows])
+    vocab.save(str(root / "metadata" / "vocab.json"))
+    return root

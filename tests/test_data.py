@@ -1,0 +1,72 @@
+import numpy as np
+
+from mvc_tpu.config import EOS_ID, PAD_ID, SOS_ID
+from mvc_tpu.data import (
+    VideoCaptioningDataset,
+    get_loader,
+    video_dataset_to_video_captions_loader,
+)
+from mvc_tpu.data.dataset import collate_av_batch
+
+
+def test_dataset_semantics(synthetic_msvd):
+    ds = VideoCaptioningDataset(str(synthetic_msvd), split="train", vocab_path=str(synthetic_msvd / "metadata" / "vocab.json"), verbose=False)
+    # integrity filter drops the row with missing features; Source filter
+    # drops the unverified row: 12 videos x 2 captions each
+    assert len(ds) == 24
+    item = ds[0]
+    assert item["audio"].shape[0] == item["visual"].shape[0]  # min-truncation
+    assert item["audio"].shape[1] == 128
+    assert item["visual"].shape[1] == 2048
+    assert item["caption"][0] == SOS_ID and item["caption"][-1] == EOS_ID
+
+
+def test_video_only_zeroes_audio(synthetic_msvd):
+    ds = VideoCaptioningDataset(str(synthetic_msvd), split="train", vocab_path=str(synthetic_msvd / "metadata" / "vocab.json"), video_only=True, verbose=False)
+    assert np.all(ds[0]["audio"] == 0)
+    assert not np.all(ds[0]["visual"] == 0)
+
+
+def test_collate_static_shapes(synthetic_msvd):
+    ds = VideoCaptioningDataset(str(synthetic_msvd), split="train", vocab_path=str(synthetic_msvd / "metadata" / "vocab.json"), verbose=False)
+    items = [ds[i] for i in range(5)]
+    batch = collate_av_batch(items, frame_buckets=(4, 8, 16), caption_buckets=(8, 12), pad_batch_to=8)
+    B, T, _ = batch["audio"].shape
+    assert B == 8 and T in (4, 8, 16)
+    assert batch["visual"].shape == (B, T, 2048)
+    L, B2 = batch["captions"].shape
+    assert B2 == B and L in (8, 12)
+    # time-first captions, PAD-padded
+    assert np.all(batch["captions"][0, :5] == SOS_ID)
+    assert np.all(batch["captions"][:, 5:] == PAD_ID)
+    # masks
+    assert batch["sample_mask"].sum() == 5
+    for i, it in enumerate(items):
+        assert batch["feat_mask"][i].sum() == min(it["audio"].shape[0], T)
+
+
+def test_loader_epoch(synthetic_msvd):
+    loader, ds = get_loader(
+        str(synthetic_msvd), split="train", batch_size=7,
+        vocab_path=str(synthetic_msvd / "metadata" / "vocab.json"), verbose=False,
+    )
+    batches = list(loader)
+    assert len(batches) == len(loader) == (24 + 6) // 7
+    seen = sum(int(b["sample_mask"].sum()) for b in batches)
+    assert seen == 24
+    # all batches are full (padded) for static shapes
+    assert all(b["audio"].shape[0] == 7 for b in batches)
+
+
+def test_eval_loader_groups_by_video(synthetic_msvd):
+    _, ds = get_loader(
+        str(synthetic_msvd), split="val", batch_size=4, shuffle=False,
+        vocab_path=str(synthetic_msvd / "metadata" / "vocab.json"), verbose=False,
+    )
+    eval_loader = video_dataset_to_video_captions_loader(ds, batch_size=5)
+    vids, n_caps = [], 0
+    for batch in eval_loader:
+        vids.extend(batch["video_ids"])
+        n_caps += sum(len(c) for c in batch["captions"])
+    assert len(vids) == len(set(vids)) == 12
+    assert n_caps == 24

@@ -1,0 +1,64 @@
+import numpy as np
+
+from mvc_tpu.config import EOS_ID, PAD_ID, SOS_ID, UNK_ID
+from mvc_tpu.data.tokenizer import tokenize
+from mvc_tpu.data.vocabulary import Vocabulary
+
+
+def test_special_ids():
+    v = Vocabulary()
+    assert v.stoi["<PAD>"] == PAD_ID == 0
+    assert v.stoi["<SOS>"] == SOS_ID == 1
+    assert v.stoi["<EOS>"] == EOS_ID == 2
+    assert v.stoi["<UNK>"] == UNK_ID == 3
+    assert len(v) == 4
+
+
+def test_tokenizer_basic():
+    assert tokenize("A man is PLAYING guitar") == ["a", "man", "is", "playing", "guitar"]
+    assert tokenize("don't stop") == ["do", "n't", "stop"]
+    assert tokenize("it's a dog, really.") == ["it", "'s", "a", "dog", ",", "really", "."]
+
+
+def test_threshold_admission_order():
+    # Words are admitted the moment their count hits the threshold, in stream
+    # order (reference src/get_loader.py:36-50).
+    v = Vocabulary(freq_threshold=2)
+    v.build_vocabulary(["b a", "a b b c", "c"])
+    # counts in stream order: b=1,a=1 | a=2 -> admitted first, b=2 -> second,
+    # b=3, c=1 | c=2 -> third
+    assert v.stoi["a"] == 4
+    assert v.stoi["b"] == 5
+    assert v.stoi["c"] == 6
+
+
+def test_numericalize_and_decode():
+    v = Vocabulary(freq_threshold=1)
+    v.build_vocabulary(["a man runs"])
+    ids = v.numericalize("a man flies")
+    assert ids[:2] == [v.stoi["a"], v.stoi["man"]]
+    assert ids[2] == UNK_ID
+    enc = v.encode_caption("a man runs")
+    assert enc[0] == SOS_ID and enc[-1] == EOS_ID
+
+    # decode stops at EOS
+    assert v.decode_indexes([v.stoi["a"], v.stoi["man"], EOS_ID, v.stoi["runs"]]) == "a man"
+    # numpy ints accepted
+    assert v.decode_indexes(np.array([v.stoi["a"], EOS_ID])) == "a"
+
+
+def test_apply_vocab():
+    v = Vocabulary(freq_threshold=1)
+    v.build_vocabulary(["a man runs"])
+    assert v.apply_vocab("a man flies") == "a man <UNK>"
+
+
+def test_save_load_roundtrip(tmp_path):
+    v = Vocabulary(freq_threshold=1)
+    v.build_vocabulary(["a man runs fast"])
+    p = tmp_path / "vocab.json"
+    v.save(str(p))
+    v2 = Vocabulary.load(str(p))
+    assert v2.stoi == v.stoi
+    assert v2.itos == v.itos
+    assert v2.freq_threshold == v.freq_threshold
