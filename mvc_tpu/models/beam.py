@@ -1,0 +1,109 @@
+"""Batched, jit-compiled beam search.
+
+Re-architects the reference's Python-list beam search
+(reference src/models/features_captioning.py:131-228) as a single ``lax.scan``
+over time with static ``[B, W, ...]`` state tensors — no host round-trips, no
+per-beam Python loops.  Semantics replicated exactly:
+
+- log-probs of finished beams are zeroed before adding the cumulative score,
+  so every expansion of a finished beam scores ``cum_prob`` (reference :162-166)
+- GNMT length normalization ``((5 + len)^alpha) / 6^alpha`` where ``len`` is
+  the position of the first EOS + 1, else ``t + 1`` (reference :171-180)
+- top-k over the flattened ``width * vocab`` candidates; beam index = ``k //
+  vocab``, token = ``k % vocab`` (reference :187-193)
+- the selected *unnormalized* score becomes the new cumulative score
+  (reference :208)
+- ``max_caption_len + 1`` steps; the returned sequence is ``[SOS] + tokens``
+  (reference :149,227)
+
+The step function is abstracted so single-stream and dual-stream (fused
+logits) models share the machinery — the dual model's beam predict is a
+repair of the reference's unimplemented path (src/models/captioning.py:269-277).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mvc_tpu.config import EOS_ID, SOS_ID
+
+# Large negative instead of -inf: keeps arithmetic NaN-free under the
+# length-normalization division.
+NEG_INF = -1e9
+
+# step_fn(prev_tokens [B, W], state) -> (log_probs [B, W, V] f32, new_state)
+StepFn = Callable[[jnp.ndarray, object], Tuple[jnp.ndarray, object]]
+
+
+def beam_search(
+    step_fn: StepFn,
+    init_state,
+    batch_size: int,
+    vocab_size: int,
+    max_caption_len: int = 30,
+    beam_alpha: float = 0.0,
+    beam_width: int = 5,
+) -> jnp.ndarray:
+    """Returns token ids [B, max_caption_len + 2] beginning with SOS."""
+    B, W, V = batch_size, beam_width, vocab_size
+    Lh = max_caption_len + 1
+
+    prev = jnp.full((B, W), SOS_ID, dtype=jnp.int32)
+    # Only beam 0 is live initially (the reference starts from a single SOS
+    # beam); the replicas are suppressed with NEG_INF cumulative scores.
+    cum = jnp.tile(jnp.where(jnp.arange(W) == 0, 0.0, NEG_INF)[None, :], (B, 1))
+    hist = jnp.zeros((B, W, Lh), dtype=jnp.int32)
+    finished = jnp.zeros((B, W), dtype=bool)
+    eos_len = jnp.zeros((B, W), dtype=jnp.int32)
+
+    def step(carry, t):
+        prev, state, cum, hist, finished, eos_len = carry
+        log_probs, new_state = step_fn(prev, state)                    # [B, W, V]
+
+        masked = jnp.where(finished[:, :, None], 0.0, log_probs)
+        cand = masked + cum[:, :, None]                                # unnormalized
+        lens = jnp.where(finished, eos_len, t + 1).astype(jnp.float32)
+        norm = ((5.0 + lens) ** beam_alpha) / (6.0 ** beam_alpha)
+        cand_norm = cand / norm[:, :, None]
+
+        flat_norm = cand_norm.reshape(B, W * V)
+        _, topk_idx = jax.lax.top_k(flat_norm, W)                      # [B, W]
+        beam_idx = topk_idx // V
+        token = (topk_idx % V).astype(jnp.int32)
+
+        new_cum = jnp.take_along_axis(cand.reshape(B, W * V), topk_idx, axis=1)
+
+        def regather(x):
+            # x: [B, W, ...] -> x[b, beam_idx[b, k]]
+            idx = beam_idx.reshape(B, W, *([1] * (x.ndim - 2)))
+            return jnp.take_along_axis(x, idx, axis=1)
+
+        new_state = jax.tree.map(regather, new_state)
+        new_hist = regather(hist).at[:, :, t].set(token)
+        prev_finished = regather(finished)
+        prev_eos_len = regather(eos_len)
+        new_finished = prev_finished | (token == EOS_ID)
+        new_eos_len = jnp.where(
+            prev_finished, prev_eos_len, jnp.where(token == EOS_ID, t + 1, 0)
+        )
+
+        return (token, new_state, new_cum, new_hist, new_finished, new_eos_len), None
+
+    carry = (prev, init_state, cum, hist, finished, eos_len)
+    (prev, state, cum, hist, finished, eos_len), _ = jax.lax.scan(
+        step, carry, jnp.arange(Lh)
+    )
+
+    best = hist[:, 0, :]                                               # [B, Lh]
+    sos = jnp.full((B, 1), SOS_ID, dtype=jnp.int32)
+    return jnp.concatenate([sos, best], axis=1)                        # [B, Lh + 1]
+
+
+def expand_attention_keys(keys: jnp.ndarray) -> jnp.ndarray:
+    """Identity helper kept for symmetry — beam attention broadcasts the
+    per-sequence keys across the beam axis instead of materializing
+    ``[B*W, T, A]`` copies (HBM-bandwidth saver)."""
+    return keys

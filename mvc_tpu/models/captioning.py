@@ -1,0 +1,308 @@
+"""End-to-end captioning models.
+
+- ``AVCaptioning``      — single-stream early fusion: concat audio+visual
+  features, one decoder, one reconstructor
+  (reference src/models/captioning.py:58-144)
+- ``AVCaptioningDual``  — dual-stream late fusion: per-modality decoders whose
+  log-probs are summed, per-modality reconstructors
+  (reference src/models/captioning.py:147-291)
+
+Both are stateless config holders; parameters live in explicit pytrees so the
+train step jits/shards them freely.  ``predict_tokens`` is fully jittable
+(greedy and beam); string decoding is a host-side helper.
+
+Differences from the reference, documented in PARITY.md:
+- the dual model's beam search actually works (the reference's is an
+  unimplemented FIXME, src/models/captioning.py:269-277) — it steps both
+  decoders jointly and fuses their log-probs per step
+- the reference's dead ``output_fc`` fusion layer (src/models/captioning.py:185)
+  is not allocated
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mvc_tpu.config import (
+    AUDIO_DECODER_CONFIG,
+    SINGLE_DECODER_CONFIG,
+    VISUAL_DECODER_CONFIG,
+    DecoderConfig,
+    ReconstructorConfig,
+)
+from mvc_tpu.models import beam as beam_mod
+from mvc_tpu.models import decoder as dec
+from mvc_tpu.models import reconstructor as rec
+from mvc_tpu.models import attention as attn
+from mvc_tpu.models import rnn
+
+
+def _beam_init_state(rnn_type: str, B: int, W: int, H: int, dtype):
+    h = jnp.zeros((B, W, H), dtype)
+    return (h, h) if rnn_type == "LSTM" else h
+
+
+def captions_from_tokens(vocab, tokens) -> List[str]:
+    """[B, L] token ids -> caption strings; drops position 0 and stops at EOS
+    (reference src/models/captioning.py:143)."""
+    import numpy as np
+
+    tokens = np.asarray(tokens)
+    return [vocab.decode_indexes(row[1:]) for row in tokens]
+
+
+class AVCaptioning:
+    """Single-stream concat-fusion captioner."""
+
+    def __init__(
+        self,
+        vocab_size: int,
+        teacher_forcing_ratio: float = 0.0,
+        reconstructor_type: str = "none",
+        decoder_config: Optional[DecoderConfig] = None,
+        reconstructor_config: Optional[ReconstructorConfig] = None,
+        dtype=jnp.float32,
+    ):
+        self.vocab_size = vocab_size
+        self.teacher_forcing_ratio = teacher_forcing_ratio
+        self.reconstructor_type = reconstructor_type
+        self.dtype = dtype
+        base = decoder_config or SINGLE_DECODER_CONFIG
+        self.decoder_config = base.replace(output_size=vocab_size)
+        rbase = reconstructor_config or ReconstructorConfig()
+        # The model builder overwrites these exactly like the reference
+        # (src/models/captioning.py:72-75).
+        self.reconstructor_config = rbase.replace(
+            type=reconstructor_type,
+            decoder_size=self.decoder_config.rnn_hidden_size,
+            hidden_size=self.decoder_config.in_feature_size,
+        )
+
+    def init(self, key):
+        k_dec, k_rec = jax.random.split(key)
+        return {
+            "decoder": dec.init_decoder(k_dec, self.decoder_config),
+            "reconstructor": rec.init_reconstructor(k_rec, self.reconstructor_config),
+        }
+
+    def forward(
+        self,
+        params,
+        audio: jnp.ndarray,             # [B, T, 128]
+        visual: jnp.ndarray,            # [B, T, 2048]
+        captions: jnp.ndarray,          # [L, B]
+        rng: Optional[jax.Array] = None,
+        teacher_forcing_ratio: Optional[float] = None,
+        feat_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        """Returns (outputs [L,B,V], audio_recons, visual_recons)
+        (reference src/models/captioning.py:108-129)."""
+        tf = teacher_forcing_ratio if teacher_forcing_ratio is not None else self.teacher_forcing_ratio
+        features = jnp.concatenate([audio, visual], axis=-1)
+        outputs, hiddens = dec.decode(
+            params["decoder"], self.decoder_config, features,
+            captions=captions, max_caption_len=captions.shape[0],
+            teacher_forcing_ratio=tf, rng=rng, feat_mask=feat_mask, dtype=self.dtype,
+        )
+        recons = rec.reconstruct(
+            params["reconstructor"], self.reconstructor_config,
+            hiddens, outputs, captions, feat_len=features.shape[1], dtype=self.dtype,
+        )
+        if recons is None:
+            return outputs, None, None
+        a_dim = audio.shape[2]
+        return outputs, recons[:, :, :a_dim], recons[:, :, a_dim:]
+
+    def predict_tokens(
+        self,
+        params,
+        audio: jnp.ndarray,
+        visual: jnp.ndarray,
+        max_caption_len: int = 30,
+        mode: str = "direct",
+        beam_alpha: float = 0.0,
+        beam_width: int = 5,
+        feat_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Jittable prediction -> token ids [B, L]
+        (reference src/models/captioning.py:131-144)."""
+        features = jnp.concatenate([audio, visual], axis=-1)
+        if mode == "direct":
+            outputs, _ = dec.decode(
+                params["decoder"], self.decoder_config, features,
+                captions=None, max_caption_len=max_caption_len,
+                feat_mask=feat_mask, dtype=self.dtype,
+            )
+            return dec.greedy_tokens(outputs)
+        if mode != "beam":
+            raise ValueError(f"mode must be 'direct' or 'beam', got {mode}")
+
+        B = features.shape[0]
+        cfg = self.decoder_config
+        feats = features.astype(self.dtype)
+        keys = attn.precompute_keys(params["decoder"]["attention"], feats)
+
+        def step_fn(prev, state):
+            return dec.decoder_beam_step(
+                params["decoder"], cfg, prev, state, feats, keys, feat_mask, self.dtype
+            )
+
+        init_state = _beam_init_state(cfg.rnn_type, B, beam_width, cfg.rnn_hidden_size, self.dtype)
+        return beam_mod.beam_search(
+            step_fn, init_state, B, self.vocab_size,
+            max_caption_len=max_caption_len, beam_alpha=beam_alpha, beam_width=beam_width,
+        )
+
+    def predict(self, params, vocab, audio, visual, max_caption_len=30, mode="direct",
+                beam_alpha=0.0, beam_width=5, feat_mask=None) -> List[str]:
+        tokens = self.predict_tokens(
+            params, audio, visual, max_caption_len, mode, beam_alpha, beam_width, feat_mask
+        )
+        return captions_from_tokens(vocab, tokens)
+
+
+class AVCaptioningDual:
+    """Dual-stream late-fusion captioner — the model the reference actually
+    trains (``dual=True``, reference src/train.py:375,513-519).  Fusion is an
+    elementwise sum of the two decoders' log-probs
+    (reference src/models/captioning.py:260-264)."""
+
+    def __init__(
+        self,
+        vocab_size: int,
+        teacher_forcing_ratio: float = 0.0,
+        reconstructor_type: str = "none",
+        visual_decoder_config: Optional[DecoderConfig] = None,
+        audio_decoder_config: Optional[DecoderConfig] = None,
+        reconstructor_config: Optional[ReconstructorConfig] = None,
+        dtype=jnp.float32,
+    ):
+        self.vocab_size = vocab_size
+        self.teacher_forcing_ratio = teacher_forcing_ratio
+        self.reconstructor_type = reconstructor_type
+        self.dtype = dtype
+        v_base = visual_decoder_config or VISUAL_DECODER_CONFIG
+        a_base = audio_decoder_config or AUDIO_DECODER_CONFIG
+        self.v_config = v_base.replace(output_size=vocab_size)
+        self.a_config = a_base.replace(output_size=vocab_size)
+        rbase = reconstructor_config or ReconstructorConfig()
+        self.v_rec_config = rbase.replace(
+            type=reconstructor_type,
+            decoder_size=self.v_config.rnn_hidden_size,
+            hidden_size=self.v_config.in_feature_size,
+        )
+        self.a_rec_config = rbase.replace(
+            type=reconstructor_type,
+            decoder_size=self.a_config.rnn_hidden_size,
+            hidden_size=self.a_config.in_feature_size,
+        )
+
+    def init(self, key):
+        kv, ka, kvr, kar = jax.random.split(key, 4)
+        return {
+            "v_decoder": dec.init_decoder(kv, self.v_config),
+            "a_decoder": dec.init_decoder(ka, self.a_config),
+            "v_reconstructor": rec.init_reconstructor(kvr, self.v_rec_config),
+            "a_reconstructor": rec.init_reconstructor(kar, self.a_rec_config),
+        }
+
+    def forward(
+        self,
+        params,
+        audio: jnp.ndarray,
+        visual: jnp.ndarray,
+        captions: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        teacher_forcing_ratio: Optional[float] = None,
+        feat_mask: Optional[jnp.ndarray] = None,
+    ):
+        """(reference src/models/captioning.py:223-257).  Each decoder draws
+        its own teacher-forcing coins, as in the reference where each calls
+        forward_sentence independently."""
+        tf = teacher_forcing_ratio if teacher_forcing_ratio is not None else self.teacher_forcing_ratio
+        rng_v, rng_a = jax.random.split(rng) if rng is not None else (None, None)
+
+        v_outputs, v_hiddens = dec.decode(
+            params["v_decoder"], self.v_config, visual,
+            captions=captions, max_caption_len=captions.shape[0],
+            teacher_forcing_ratio=tf, rng=rng_v, feat_mask=feat_mask, dtype=self.dtype,
+        )
+        a_outputs, a_hiddens = dec.decode(
+            params["a_decoder"], self.a_config, audio,
+            captions=captions, max_caption_len=captions.shape[0],
+            teacher_forcing_ratio=tf, rng=rng_a, feat_mask=feat_mask, dtype=self.dtype,
+        )
+        outputs = a_outputs + v_outputs
+
+        audio_recons = rec.reconstruct(
+            params["a_reconstructor"], self.a_rec_config,
+            a_hiddens, a_outputs, captions, feat_len=audio.shape[1], dtype=self.dtype,
+        )
+        visual_recons = rec.reconstruct(
+            params["v_reconstructor"], self.v_rec_config,
+            v_hiddens, v_outputs, captions, feat_len=visual.shape[1], dtype=self.dtype,
+        )
+        return outputs, audio_recons, visual_recons
+
+    def predict_tokens(
+        self,
+        params,
+        audio: jnp.ndarray,
+        visual: jnp.ndarray,
+        max_caption_len: int = 30,
+        mode: str = "direct",
+        beam_alpha: float = 0.0,
+        beam_width: int = 5,
+        feat_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        if mode == "direct":
+            # Each decoder free-runs on its own argmax, then the fused
+            # log-probs are argmaxed (reference src/models/captioning.py:279-288).
+            v_outputs, _ = dec.decode(
+                params["v_decoder"], self.v_config, visual, captions=None,
+                max_caption_len=max_caption_len, feat_mask=feat_mask, dtype=self.dtype,
+            )
+            a_outputs, _ = dec.decode(
+                params["a_decoder"], self.a_config, audio, captions=None,
+                max_caption_len=max_caption_len, feat_mask=feat_mask, dtype=self.dtype,
+            )
+            return dec.greedy_tokens(a_outputs + v_outputs)
+        if mode != "beam":
+            raise ValueError(f"mode must be 'direct' or 'beam', got {mode}")
+
+        # Joint fused-logit beam — a working implementation of the path the
+        # reference leaves as FIXME (src/models/captioning.py:269-277).
+        B = visual.shape[0]
+        v_feats = visual.astype(self.dtype)
+        a_feats = audio.astype(self.dtype)
+        v_keys = attn.precompute_keys(params["v_decoder"]["attention"], v_feats)
+        a_keys = attn.precompute_keys(params["a_decoder"]["attention"], a_feats)
+
+        def step_fn(prev, state):
+            v_state, a_state = state
+            v_logp, v_new = dec.decoder_beam_step(
+                params["v_decoder"], self.v_config, prev, v_state, v_feats, v_keys, feat_mask, self.dtype
+            )
+            a_logp, a_new = dec.decoder_beam_step(
+                params["a_decoder"], self.a_config, prev, a_state, a_feats, a_keys, feat_mask, self.dtype
+            )
+            return v_logp + a_logp, (v_new, a_new)
+
+        init_state = (
+            _beam_init_state(self.v_config.rnn_type, B, beam_width, self.v_config.rnn_hidden_size, self.dtype),
+            _beam_init_state(self.a_config.rnn_type, B, beam_width, self.a_config.rnn_hidden_size, self.dtype),
+        )
+        return beam_mod.beam_search(
+            step_fn, init_state, B, self.vocab_size,
+            max_caption_len=max_caption_len, beam_alpha=beam_alpha, beam_width=beam_width,
+        )
+
+    def predict(self, params, vocab, audio, visual, max_caption_len=30, mode="direct",
+                beam_alpha=0.0, beam_width=5, feat_mask=None) -> List[str]:
+        tokens = self.predict_tokens(
+            params, audio, visual, max_caption_len, mode, beam_alpha, beam_width, feat_mask
+        )
+        return captions_from_tokens(vocab, tokens)

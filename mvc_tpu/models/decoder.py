@@ -1,0 +1,157 @@
+"""SoftAttention-RNN caption decoder.
+
+Functional equivalent of the reference's FeaturesCaptioning
+(reference src/models/features_captioning.py:9-129), redesigned for TPU:
+
+- the word-by-word Python loop (reference :91-119) becomes a single
+  ``lax.scan`` over the time axis — one compiled program, static shapes
+- the attention key projection is hoisted out of the scan (see attention.py)
+- teacher forcing draws ONE Bernoulli per timestep for the whole batch,
+  replicating the reference's ``torch.rand(1) < ratio`` semantics
+  (reference :116) — not per-sample
+- logits are log-softmaxed in float32 regardless of compute dtype
+
+Output contract (the reference's tensor contract, see SURVEY.md §7):
+  outputs [L, B, V] log-probabilities with outputs[0] == 0
+  hiddens [L, B, H] decoder h-states with hiddens[0] == 0
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mvc_tpu.config import DecoderConfig, SOS_ID
+from mvc_tpu.models import attention as attn
+from mvc_tpu.models import rnn
+from mvc_tpu.models.initializers import embedding_params, linear_params
+
+
+def init_decoder(key, cfg: DecoderConfig, dtype=jnp.float32):
+    k_emb, k_att, k_rnn, k_out = jax.random.split(key, 4)
+    return {
+        "embedding": embedding_params(k_emb, cfg.output_size, cfg.embedding_size, dtype),
+        "attention": attn.init_attention(
+            k_att, cfg.rnn_hidden_size, cfg.in_feature_size, cfg.attn_size, dtype
+        ),
+        "rnn": rnn.init_rnn(key=k_rnn, rnn_type=cfg.rnn_type,
+                            in_size=cfg.embedding_size + cfg.in_feature_size,
+                            hidden_size=cfg.rnn_hidden_size, dtype=dtype),
+        "out": linear_params(k_out, cfg.rnn_hidden_size, cfg.output_size, dtype=dtype),
+    }
+
+
+def decoder_step(
+    params,
+    cfg: DecoderConfig,
+    prev_tokens: jnp.ndarray,        # [B] int32
+    state,                           # rnn state ((h,c) or h), each [B, H]
+    feats: jnp.ndarray,              # [B, T, F]
+    keys: jnp.ndarray,               # [B, T, A] precomputed attention keys
+    feat_mask: Optional[jnp.ndarray],  # [B, T] bool or None
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, object, jnp.ndarray]:
+    """One word step (reference forward_word, src/models/features_captioning.py:77-89).
+    Returns (log_probs [B, V] float32, new_state, attn_weights [B, T])."""
+    embedded = params["embedding"]["table"][prev_tokens].astype(dtype)
+    h = rnn.state_hidden(cfg.rnn_type, state)
+    context, weights = attn.attend(params["attention"], h, feats, keys=keys, mask=feat_mask)
+    x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
+    _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
+    h_new = rnn.state_hidden(cfg.rnn_type, new_state)
+    logits = (h_new @ params["out"]["w"] + params["out"]["b"]).astype(jnp.float32)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    return log_probs, new_state, weights
+
+
+def decode(
+    params,
+    cfg: DecoderConfig,
+    feats: jnp.ndarray,                    # [B, T, F]
+    captions: Optional[jnp.ndarray] = None,  # [L, B] int32 gold tokens (or None)
+    max_caption_len: int = 30,
+    teacher_forcing_ratio: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    feat_mask: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-sentence decode as one ``lax.scan``
+    (reference decode/forward_sentence, src/models/features_captioning.py:91-129).
+
+    Returns (outputs [L, B, V] log-probs, hiddens [L, B, H])."""
+    B = feats.shape[0]
+    L = int(captions.shape[0]) if captions is not None else int(max_caption_len)
+    feats = feats.astype(dtype)
+    keys = attn.precompute_keys(params["attention"], feats)
+
+    # One teacher-forcing coin per timestep for the whole batch
+    # (reference src/models/features_captioning.py:116).
+    if captions is not None and teacher_forcing_ratio > 0:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        use_tf = jax.random.bernoulli(rng, teacher_forcing_ratio, (L,))
+    else:
+        use_tf = jnp.zeros((L,), dtype=bool)
+
+    gold = captions if captions is not None else jnp.zeros((L, B), dtype=jnp.int32)
+    init_state = rnn.init_state(cfg.rnn_type, B, cfg.rnn_hidden_size, dtype)
+    init_prev = jnp.full((B,), SOS_ID, dtype=jnp.int32)
+
+    def step(carry, xs):
+        prev, state = carry
+        gold_t, tf_t = xs
+        log_probs, new_state, _ = decoder_step(
+            params, cfg, prev, state, feats, keys, feat_mask, dtype
+        )
+        top1 = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+        next_prev = jnp.where(tf_t, gold_t, top1)
+        h = rnn.state_hidden(cfg.rnn_type, new_state).astype(jnp.float32)
+        return (next_prev, new_state), (log_probs, h)
+
+    xs = (gold[1:], use_tf[1:]) if L > 1 else (gold[:0], use_tf[:0])
+    (_, _), (outs, hiddens) = jax.lax.scan(step, (init_prev, init_state), xs)
+
+    zeros_out = jnp.zeros((1, B, cfg.output_size), jnp.float32)
+    zeros_h = jnp.zeros((1, B, cfg.rnn_hidden_size), jnp.float32)
+    outputs = jnp.concatenate([zeros_out, outs], axis=0)
+    hidden_states = jnp.concatenate([zeros_h, hiddens], axis=0)
+    return outputs, hidden_states
+
+
+def greedy_tokens(outputs: jnp.ndarray) -> jnp.ndarray:
+    """[L, B, V] log-probs -> [B, L] argmax tokens
+    (reference src/models/captioning.py:140)."""
+    return jnp.argmax(outputs, axis=2).T
+
+
+def decoder_beam_step(
+    params,
+    cfg: DecoderConfig,
+    prev_tokens: jnp.ndarray,        # [B, W] int32
+    state,                           # rnn state with [B, W, H] leaves
+    feats: jnp.ndarray,              # [B, T, F]
+    keys: jnp.ndarray,               # [B, T, A]
+    feat_mask: Optional[jnp.ndarray],  # [B, T] or None
+    dtype=jnp.float32,
+):
+    """Beam-batched word step.  The attention keys are broadcast over the
+    beam axis (no [B*W, T, F] feature copies in HBM); the RNN cell operates
+    directly on [B, W, *] tensors since it is pure matmul + elementwise.
+
+    Returns (log_probs [B, W, V] f32, new_state)."""
+    ap = params["attention"]
+    embedded = params["embedding"]["table"][prev_tokens].astype(dtype)   # [B, W, E]
+    h = rnn.state_hidden(cfg.rnn_type, state)                            # [B, W, H]
+    query = h @ ap["W"]                                                  # [B, W, A]
+    energies = jnp.tanh(query[:, :, None, :] + keys[:, None, :, :] + ap["b"]) @ ap["w"]  # [B, W, T]
+    if feat_mask is not None:
+        energies = jnp.where(feat_mask[:, None, :], energies, -jnp.inf)
+    weights = jax.nn.softmax(energies, axis=-1)
+    context = jnp.einsum("bwt,btf->bwf", weights, feats)                 # [B, W, F]
+    x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
+    _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
+    h_new = rnn.state_hidden(cfg.rnn_type, new_state)
+    logits = (h_new @ params["out"]["w"] + params["out"]["b"]).astype(jnp.float32)
+    return jax.nn.log_softmax(logits, axis=-1), new_state

@@ -5,14 +5,24 @@ multi-chip sharding paths are exercised without TPU hardware
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override onto CPU: the driver environment pins JAX_PLATFORMS=axon (a
+# remote TPU tunnel) and a sitecustomize partially imports jax at interpreter
+# startup, so the env var alone is captured too early to change — we must also
+# update the live jax config before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+assert jax.device_count() == 8, "expected 8 virtual CPU devices for sharding tests"
 
 
 @pytest.fixture(scope="session")
