@@ -1,0 +1,79 @@
+"""Score facades.
+
+- ``NLPScore(ref, hypo)`` — the training-loop scorer with the reference's
+  exact dict keys (reference src/losses.py:140-160): Bleu_1..4, METEOR,
+  ROUGE_L, CIDEr.  Inputs are already-tokenized caption strings.
+- ``COCOEvalCap`` — the standalone COCO-style evaluation harness
+  (reference pycocoevalcap/eval.py:9-63): PTB-tokenizes raw captions, runs
+  every scorer, exposes ``eval`` / ``imgToEval``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from mvc_tpu.evalcap.bleu import Bleu
+from mvc_tpu.evalcap.cider import Cider
+from mvc_tpu.evalcap.meteor import Meteor
+from mvc_tpu.evalcap.rouge import Rouge
+from mvc_tpu.evalcap.tokenizer import PTBTokenizer
+
+
+def NLPScore(ref: Dict[str, List[str]], hypo: Dict[str, List[str]]) -> Dict[str, float]:
+    """ref: {video_id: [gt captions]}, hypo: {video_id: [generated caption]}.
+    Returns {Bleu_1..4, METEOR, ROUGE_L, CIDEr} (reference src/losses.py:140-160)."""
+    scorers = [
+        (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
+        (Meteor(), "METEOR"),
+        (Rouge(), "ROUGE_L"),
+        (Cider(), "CIDEr"),
+    ]
+    final_scores: Dict[str, float] = {}
+    for scorer, method in scorers:
+        score, _ = scorer.compute_score(ref, hypo)
+        if isinstance(score, list):
+            for m, s in zip(method, score):
+                final_scores[m] = s
+        else:
+            final_scores[method] = score
+    return final_scores
+
+
+class COCOEvalCap:
+    """COCO-style eval harness over (gts, res) caption dicts of raw strings
+    (reference pycocoevalcap/eval.py)."""
+
+    def __init__(self, gts: Dict[str, List[str]], res: Dict[str, List[str]]):
+        self._gts_raw = gts
+        self._res_raw = res
+        self.eval: Dict[str, float] = {}
+        self.imgToEval: Dict[str, Dict[str, float]] = {}
+
+    def evaluate(self) -> Dict[str, float]:
+        tokenizer = PTBTokenizer()
+        gts = tokenizer.tokenize(
+            {k: [{"caption": c} for c in v] for k, v in self._gts_raw.items()}
+        )
+        res = tokenizer.tokenize(
+            {k: [{"caption": c} for c in v] for k, v in self._res_raw.items()}
+        )
+
+        scorers = [
+            (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
+            (Meteor(), "METEOR"),
+            (Rouge(), "ROUGE_L"),
+            (Cider(), "CIDEr"),
+        ]
+        ids = sorted(gts.keys())
+        for scorer, method in scorers:
+            score, scores = scorer.compute_score(gts, res)
+            if isinstance(score, list):
+                for m, s, per_img in zip(method, score, scores):
+                    self.eval[m] = s
+                    for img, v in zip(ids, per_img):
+                        self.imgToEval.setdefault(img, {})[m] = float(v)
+            else:
+                self.eval[method] = score
+                for img, v in zip(ids, scores):
+                    self.imgToEval.setdefault(img, {})[method] = float(v)
+        return self.eval

@@ -1,0 +1,56 @@
+"""ROUGE-L (Lin 2004) F-score with beta = 1.2, COCO-caption conventions
+(reference pycocoevalcap/rouge/rouge.py): per image, precision and recall are
+*independently* maxed over the references before combining into F-beta; the
+corpus score is the mean over images."""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+
+def lcs_length(a: List[str], b: List[str]) -> int:
+    """Length of the longest common subsequence (O(len(a)*len(b)) DP with a
+    rolling row)."""
+    if len(a) < len(b):
+        a, b = b, a
+    if not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, start=1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[len(b)]
+
+
+class Rouge:
+    def __init__(self):
+        self.beta = 1.2
+
+    def calc_score(self, candidate: List[str], refs: List[str]) -> float:
+        assert len(candidate) == 1
+        assert len(refs) > 0
+        token_c = candidate[0].split(" ")
+        prec, rec = [], []
+        for reference in refs:
+            token_r = reference.split(" ")
+            lcs = lcs_length(token_r, token_c)
+            prec.append(lcs / float(len(token_c)))
+            rec.append(lcs / float(len(token_r)))
+        prec_max, rec_max = max(prec), max(rec)
+        if prec_max != 0 and rec_max != 0:
+            return ((1 + self.beta ** 2) * prec_max * rec_max) / float(
+                rec_max + self.beta ** 2 * prec_max
+            )
+        return 0.0
+
+    def compute_score(self, gts: Dict[str, List[str]], res: Dict[str, List[str]]):
+        assert sorted(gts.keys()) == sorted(res.keys())
+        import numpy as np
+
+        scores = [self.calc_score(res[i], gts[i]) for i in sorted(gts.keys())]
+        return float(np.mean(scores)), np.array(scores)
+
+    def method(self) -> str:
+        return "Rouge"
