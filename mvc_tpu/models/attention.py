@@ -41,6 +41,21 @@ def precompute_keys(params, feats: jnp.ndarray) -> jnp.ndarray:
     return feats @ params["U"]
 
 
+def masked_softmax(energies: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = -1) -> jnp.ndarray:
+    """Softmax with exact zeros at masked positions.  Rows with no valid
+    position yield all-zero weights instead of NaN — this is what makes
+    batch-padding rows (feat_mask all False) inert in the loss."""
+    if mask is None:
+        return jax.nn.softmax(energies, axis=axis)
+    neg_inf = jnp.asarray(-jnp.inf, energies.dtype)
+    e = jnp.where(mask, energies, neg_inf)
+    m = jnp.max(e, axis=axis, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    unnorm = jnp.where(mask, jnp.exp(e - m), 0.0)
+    denom = jnp.sum(unnorm, axis=axis, keepdims=True)
+    return unnorm / jnp.maximum(denom, jnp.finfo(energies.dtype).tiny)
+
+
 def attend(
     params,
     hidden: jnp.ndarray,            # [B, H]
@@ -53,8 +68,6 @@ def attend(
         keys = precompute_keys(params, feats)
     query = hidden @ params["W"]                      # [B, A]
     energies = jnp.tanh(query[:, None, :] + keys + params["b"]) @ params["w"]  # [B, T]
-    if mask is not None:
-        energies = jnp.where(mask, energies, -jnp.inf)
-    weights = jax.nn.softmax(energies, axis=1)
+    weights = masked_softmax(energies, mask, axis=1)
     context = jnp.einsum("bt,btf->bf", weights, feats)
     return context, weights

@@ -146,9 +146,8 @@ def decoder_beam_step(
     h = rnn.state_hidden(cfg.rnn_type, state)                            # [B, W, H]
     query = h @ ap["W"]                                                  # [B, W, A]
     energies = jnp.tanh(query[:, :, None, :] + keys[:, None, :, :] + ap["b"]) @ ap["w"]  # [B, W, T]
-    if feat_mask is not None:
-        energies = jnp.where(feat_mask[:, None, :], energies, -jnp.inf)
-    weights = jax.nn.softmax(energies, axis=-1)
+    mask = feat_mask[:, None, :] if feat_mask is not None else None
+    weights = attn.masked_softmax(energies, mask, axis=-1)
     context = jnp.einsum("bwt,btf->bwf", weights, feats)                 # [B, W, F]
     x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
     _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)

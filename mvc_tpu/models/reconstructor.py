@@ -76,7 +76,9 @@ def global_reconstruct(
     hiddens = decoder_hiddens.astype(dtype)
     mask = caption_mask.astype(dtype)[:, :, None]                  # [L, B, 1]
     caption_lens = jnp.sum(caption_mask.astype(dtype), axis=0)     # [B]
-    pooled = jnp.sum(hiddens * mask, axis=0) / caption_lens[:, None]  # [B, H]
+    # max(.,1) guard: batch-padding rows have empty caption masks and would
+    # otherwise poison the pool with 0/0 NaNs.
+    pooled = jnp.sum(hiddens * mask, axis=0) / jnp.maximum(caption_lens, 1.0)[:, None]
 
     init_state = rnn.init_state(cfg.rnn_type, B, cfg.hidden_size, dtype)
 

@@ -1,0 +1,9 @@
+from mvc_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    param_shardings,
+    shard_batch,
+    replicate,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "param_shardings", "shard_batch", "replicate"]

@@ -1,0 +1,119 @@
+"""Device mesh + sharding rules.
+
+The reference has no distributed layer at all (single process, one GPU —
+SURVEY.md §2.3); this module IS the framework's comms layer.  Parallelism is
+expressed as a 2-D ``jax.sharding.Mesh``:
+
+- ``dp`` — data parallel: the batch axis of every input is sharded; XLA
+  inserts the gradient all-reduce (psum) over ICI
+- ``tp`` — tensor parallel: the vocab axis of each decoder's embedding table,
+  output projection, and hence the logits is sharded; XLA inserts the
+  all-gather / reduce-scatter around the log-softmax
+
+Everything routes through ``jax.jit`` with NamedShardings (GSPMD), so the
+same train step runs single-chip, multi-chip ICI, or multi-slice DCN
+unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mvc_tpu.config import MeshConfig
+
+
+def make_mesh(dp: int = -1, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ("dp", "tp") mesh.  ``dp=-1`` consumes all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp == -1:
+        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+        dp = n // tp
+    assert dp * tp <= n, f"mesh {dp}x{tp} needs more than {n} devices"
+    grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, ("dp", "tp"))
+
+
+def mesh_from_config(cfg: MeshConfig, devices=None) -> Mesh:
+    return make_mesh(dp=cfg.dp, tp=cfg.tp, devices=devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Inputs sharded on the leading (batch) axis over dp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _decoder_param_spec(path: str, leaf) -> P:
+    """Partition rules for decoder/reconstructor parameter leaves.
+
+    Vocab-sized dims shard over tp:
+      embedding table [V, E]  -> P("tp", None)
+      out.w           [H, V]  -> P(None, "tp")
+      out.b           [V]     -> P("tp")
+    Everything else replicates.
+    """
+    if "embedding" in path and leaf.ndim == 2:
+        return P("tp", None)
+    if path.endswith("out/w"):
+        return P(None, "tp")
+    if path.endswith("out/b"):
+        return P("tp")
+    return P()
+
+
+def param_shardings(mesh: Mesh, params) -> object:
+    """NamedSharding pytree for a model parameter tree."""
+
+    def walk(tree, prefix):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{prefix}/{k}" if prefix else k) for k, v in tree.items()}
+        if tree is None:
+            return None
+        return NamedSharding(mesh, _decoder_param_spec(prefix, tree))
+
+    return walk(params, "")
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put a host batch with the batch axis over dp.  Time-first
+    caption arrays ([L, B]) shard their second axis."""
+    out = {}
+    for k, v in batch.items():
+        if not hasattr(v, "ndim"):
+            out[k] = v
+            continue
+        if k == "captions":            # [L, B] time-first
+            spec = P(None, "dp")
+        else:                          # [B, ...]
+            spec = P("dp")
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+    """Pad the batch axis so it divides the dp mesh axis (padding rows carry
+    sample_mask=False and drop out of every loss)."""
+    import numpy as np
+
+    b = batch["audio"].shape[0]
+    target = ((b + multiple - 1) // multiple) * multiple
+    if target == b:
+        return batch
+    pad = target - b
+    out = {}
+    for k, v in batch.items():
+        if not hasattr(v, "ndim"):
+            out[k] = v
+        elif k == "captions":
+            out[k] = np.concatenate([v, np.zeros((v.shape[0], pad), v.dtype)], axis=1)
+        else:
+            out[k] = np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)], axis=0)
+    return out

@@ -1,0 +1,94 @@
+"""Optimizer + LR schedule.
+
+Matches the reference's training recipe (reference src/train.py:86-97):
+Adam(amsgrad=True) with torch-style L2 weight decay (added to the gradient
+*before* the moment updates), elementwise gradient value clipping at 5.0
+applied before the optimizer, and a ReduceLROnPlateau schedule stepped on the
+validation CIDEr.
+
+The plateau scheduler is host-side state; the learning rate reaches the
+jitted update through ``optax.inject_hyperparams`` so changing it does NOT
+trigger a recompile.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import optax
+
+from mvc_tpu.config import TrainerConfig
+
+
+def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
+    """clip(value) -> +wd*p -> amsgrad/adam -> lr (injected)."""
+
+    def build(learning_rate):
+        steps = []
+        if cfg.gradient_clip_value and cfg.gradient_clip_value > 0:
+            steps.append(optax.clip(cfg.gradient_clip_value))
+        if cfg.weight_decay:
+            steps.append(optax.add_decayed_weights(cfg.weight_decay))
+        core = optax.amsgrad(learning_rate) if cfg.amsgrad else optax.adam(learning_rate)
+        steps.append(core)
+        return optax.chain(*steps)
+
+    return optax.inject_hyperparams(build)(learning_rate=cfg.lr)
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+def set_learning_rate(opt_state, lr: float):
+    opt_state.hyperparams["learning_rate"] = lr
+    return opt_state
+
+
+@dataclass
+class PlateauScheduler:
+    """ReduceLROnPlateau (reference src/train.py:89-96): factor 0.5,
+    patience 5, min_lr 1e-7.  ``mode`` defaults to "max" (sane for CIDEr);
+    "min" reproduces the reference quirk of stepping a min-mode scheduler on a
+    higher-is-better metric (PARITY.md)."""
+
+    lr: float
+    factor: float = 0.5
+    patience: int = 5
+    min_lr: float = 1e-7
+    mode: str = "max"
+    threshold: float = 1e-4
+
+    def __post_init__(self):
+        self.best = None
+        self.num_bad = 0
+
+    def _improved(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "max":
+            return metric > self.best * (1.0 + self.threshold)
+        return metric < self.best * (1.0 - self.threshold)
+
+    def step(self, metric: float) -> float:
+        """Returns the (possibly decayed) learning rate."""
+        if self._improved(metric):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                new_lr = max(self.lr * self.factor, self.min_lr)
+                if new_lr < self.lr:
+                    print(f"Plateau: reducing lr {self.lr:.2e} -> {new_lr:.2e}")
+                self.lr = new_lr
+                self.num_bad = 0
+        return self.lr
+
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = d["lr"]
+        self.best = d["best"]
+        self.num_bad = d["num_bad"]

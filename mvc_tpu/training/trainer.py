@@ -1,0 +1,363 @@
+"""Training / evaluation engine.
+
+The reference's Trainer (reference src/train.py:35-348) rebuilt TPU-first:
+
+- one jitted, sharding-annotated train step per (T, L) shape bucket:
+  forward + loss + grad + optimizer in a single XLA program with donated
+  params/opt_state (vs. eager per-op dispatch in torch)
+- data-parallel batches over the mesh's ``dp`` axis; the gradient all-reduce
+  is inserted by XLA (GSPMD) — there is no hand-written comms code
+- greedy eval decode is a jitted program too; only caption ids return to host
+- identical observable surface: history dict with the same six keys,
+  TensorBoard scalars with the same tag names, 10 example captions per eval,
+  checkpoint triggers on best val-CIDEr and best val-loss, ``eval_freq``
+  cadence (reference src/train.py:110-173)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvc_tpu.config import TrainerConfig
+from mvc_tpu.data.dataset import video_dataset_to_video_captions_loader
+from mvc_tpu.evalcap import NLPScore
+from mvc_tpu.parallel import mesh as mesh_lib
+from mvc_tpu.training import losses as loss_lib
+from mvc_tpu.training import optimizer as opt_lib
+from mvc_tpu.training.checkpoint import load_checkpoint, restore_params_like, save_checkpoint
+
+LOSS_KEYS = ("total", "ce", "e", "a_recon", "v_recon")
+
+
+class _NullWriter:
+    def add_scalar(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
+def _make_writer(log_dir: Optional[str]):
+    if not log_dir:
+        return _NullWriter()
+    try:
+        from tensorboardX import SummaryWriter
+
+        return SummaryWriter(log_dir)
+    except Exception:
+        return _NullWriter()
+
+
+class Trainer:
+    def __init__(
+        self,
+        checkpoint_name: str,
+        log_dir: str = "logs",
+        display_freq: int = 10,
+        eval_freq: int = 10,
+        mesh=None,
+    ):
+        self.checkpoint_name = checkpoint_name
+        self.display_freq = display_freq
+        self.eval_freq = eval_freq
+        self.mesh = mesh
+        self.summary_writer = _make_writer(log_dir)
+        self._train_step_cache: Dict = {}
+        self._predict_cache: Dict = {}
+
+    # ------------------------------------------------------------ jit builds
+    def _build_train_step(self, model, cfg: TrainerConfig):
+        loss_fn = loss_lib.ModalityWiseReconstructionLossBuilder(
+            reg_lambda=cfg.reg_lambda,
+            audio_recon_lambda=cfg.audio_recon_lambda,
+            visual_recon_lambda=cfg.visual_recon_lambda,
+            rec_type=model.reconstructor_type,
+        )
+        mask_feats = cfg.mask_padded_features
+
+        def compute_loss(params, batch, rng, tf_ratio):
+            feat_mask = batch["feat_mask"] if mask_feats else None
+            outputs, a_rec, v_rec = model.forward(
+                params, batch["audio"], batch["visual"], batch["captions"],
+                rng=rng, teacher_forcing_ratio=tf_ratio, feat_mask=feat_mask,
+            )
+            loss, ce, ent, a_l, v_l = loss_fn(
+                outputs, batch["captions"],
+                batch["audio"], a_rec, batch["visual"], v_rec,
+                feat_mask=feat_mask,
+            )
+            metrics = {"total": loss, "ce": ce, "e": ent, "a_recon": a_l, "v_recon": v_l}
+            return loss, metrics
+
+        def train_step(params, opt_state, batch, rng):
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: compute_loss(p, batch, rng, None), has_aux=True
+            )(params)
+            updates, opt_state = self._optimizer.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, metrics
+
+        def eval_loss_step(params, batch, rng):
+            _, metrics = compute_loss(params, batch, rng, 0.0)
+            return metrics
+
+        if self.mesh is not None:
+            bs = mesh_lib.batch_sharding(self.mesh)
+            train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            eval_loss_step = jax.jit(eval_loss_step)
+        else:
+            train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            eval_loss_step = jax.jit(eval_loss_step)
+        return train_step, eval_loss_step
+
+    def _get_predict_fn(self, model, max_caption_len: int):
+        key = (id(model), max_caption_len)
+        if key not in self._predict_cache:
+            self._predict_cache[key] = jax.jit(
+                lambda p, a, v, m: model.predict_tokens(
+                    p, a, v, max_caption_len=max_caption_len, mode="direct", feat_mask=m
+                )
+            )
+        return self._predict_cache[key]
+
+    def _put_batch(self, batch):
+        """Host batch -> device arrays (sharded over dp when a mesh is set)."""
+        arrays = {
+            k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+        }
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            arrays = mesh_lib.pad_batch_to_multiple(arrays, dp)
+            arrays = mesh_lib.shard_batch(self.mesh, arrays)
+        else:
+            arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+        out = dict(batch)
+        out.update(arrays)
+        return out
+
+    # ------------------------------------------------------------ chkpt
+    def _load(self, params):
+        ckpt = load_checkpoint(self.checkpoint_name)
+        if ckpt is None:
+            print("No checkpoint found, using default parameters...")
+            return params, None
+        print(f"Resuming training from checkpoint: {self.checkpoint_name}")
+        params = restore_params_like(params, ckpt["params"])
+        return params, ckpt
+
+    def _save(self, epoch, params, opt_state, extra=None):
+        payload = {
+            "epoch": epoch,
+            "params": params,
+            "opt_state": jax.tree.map(lambda x: x, opt_state),
+            "scheduler": self.lr_scheduler.state_dict(),
+            "history": self.history,
+            "best_loss": self.best_loss,
+            "best_CIDEr": self.best_CIDEr,
+        }
+        if extra:
+            payload.update(extra)
+        save_checkpoint(self.checkpoint_name, payload)
+
+    # ------------------------------------------------------------ fit
+    def fit(self, model, params, train_loader, val_loader, test_loader, train_config: TrainerConfig):
+        cfg = train_config
+        self._optimizer = opt_lib.make_optimizer(cfg)
+        self.lr_scheduler = opt_lib.PlateauScheduler(
+            lr=cfg.lr, factor=cfg.lr_decay_gamma, patience=cfg.lr_decay_patience,
+            min_lr=cfg.min_lr, mode=cfg.plateau_mode,
+        )
+        self.history = {
+            "train_loss": [], "train_score": [], "val_loss": [],
+            "val_score": [], "test_loss": [], "test_score": [],
+        }
+        self.previous_epochs = 0
+        self.best_loss = 1e6
+        self.best_CIDEr = 0.0
+
+        self._vocab = train_loader.dataset.vocab
+
+        params, ckpt = self._load(params)
+        if self.mesh is not None:
+            # Replicate (dp) / shard (tp) the parameters onto the mesh; the
+            # optimizer state inherits the placement from params at init.
+            params = jax.device_put(params, mesh_lib.param_shardings(self.mesh, params))
+        opt_state = self._optimizer.init(params)
+        if ckpt is not None:
+            self.previous_epochs = ckpt.get("epoch", 0)
+            self.history = ckpt.get("history", self.history)
+            self.best_loss = ckpt.get("best_loss", self.best_loss)
+            self.best_CIDEr = ckpt.get("best_CIDEr", self.best_CIDEr)
+            if ckpt.get("scheduler"):
+                self.lr_scheduler.load_state_dict(ckpt["scheduler"])
+            if ckpt.get("opt_state") is not None:
+                try:
+                    opt_state = jax.tree.map(
+                        lambda t, h: jnp.asarray(h), opt_state, ckpt["opt_state"]
+                    )
+                except Exception as e:
+                    print(f"Optimizer state not restored ({e}); reinitializing")
+        opt_state = opt_lib.set_learning_rate(opt_state, self.lr_scheduler.lr)
+
+        self._train_step, self._eval_loss_step = self._build_train_step(model, cfg)
+
+        eval_kwargs = dict(
+            batch_size=cfg.batch_size, frame_buckets=tuple(cfg.frame_buckets)
+        )
+        train_vidcap = video_dataset_to_video_captions_loader(
+            train_loader.dataset, video_only=train_loader.dataset.video_only, **eval_kwargs
+        )
+        val_vidcap = video_dataset_to_video_captions_loader(
+            val_loader.dataset, video_only=val_loader.dataset.video_only, **eval_kwargs
+        )
+        test_vidcap = video_dataset_to_video_captions_loader(
+            test_loader.dataset, video_only=test_loader.dataset.video_only, **eval_kwargs
+        )
+
+        base_rng = jax.random.PRNGKey(cfg.seed)
+
+        for epoch in range(self.previous_epochs + 1, cfg.epochs + 1):
+            print(f"\nEpoch {epoch}/{cfg.epochs}:")
+            epoch_rng = jax.random.fold_in(base_rng, epoch)
+
+            t0 = time.time()
+            params, opt_state, train_loss = self.train(
+                model, params, opt_state, train_loader, epoch, epoch_rng
+            )
+            val_loss = self.test(model, params, val_loader, "val", epoch)
+            self.history["train_loss"].append(train_loss)
+            self.history["val_loss"].append(val_loss)
+
+            if epoch % self.eval_freq == 0 or epoch == cfg.epochs:
+                train_score, _, _ = self.eval(
+                    model, params, train_vidcap, "train", epoch,
+                    max_caption_len=cfg.eval_max_caption_len,
+                )
+                val_score, _, _ = self.eval(
+                    model, params, val_vidcap, "val", epoch,
+                    max_caption_len=cfg.eval_max_caption_len,
+                )
+                self.history["train_score"].append(train_score)
+                self.history["val_score"].append(val_score)
+
+                new_lr = self.lr_scheduler.step(val_score["CIDEr"])
+                opt_state = opt_lib.set_learning_rate(opt_state, new_lr)
+
+                if val_score["CIDEr"] > self.best_CIDEr:
+                    print(f"CIDEr improved from {self.best_CIDEr} to {val_score['CIDEr']}.")
+                    print(f"Saving checkpoint to: {self.checkpoint_name}")
+                    self.best_CIDEr = val_score["CIDEr"]
+                    self._save(epoch, params, opt_state)
+                    save_checkpoint(
+                        self.checkpoint_name.replace(".ckpt", "_best.ckpt"),
+                        {"epoch": epoch, "params": params, "history": self.history},
+                    )
+
+            if val_loss["total"] < self.best_loss:
+                print(f"Validation loss improved from {self.best_loss} to {val_loss['total']}.")
+                print(f"Saving checkpoint to: {self.checkpoint_name}")
+                self.best_loss = val_loss["total"]
+                self._save(epoch, params, opt_state)
+
+            print(f"Epoch time: {time.time() - t0:.1f}s")
+
+        save_checkpoint(
+            self.checkpoint_name.replace(".ckpt", "_last.ckpt"),
+            {"epoch": cfg.epochs, "params": params, "history": self.history},
+        )
+        self.summary_writer.close()
+        return params, opt_state, self.history
+
+    # ------------------------------------------------------------ loops
+    def train(self, model, params, opt_state, dataloader, epoch, rng):
+        sums = {k: 0.0 for k in LOSS_KEYS}
+        n_batches = 0
+        pending = None  # (step_no, metrics) — log one step behind to avoid sync
+
+        for i, batch in enumerate(dataloader):
+            batch = self._put_batch(batch)
+            step_rng = jax.random.fold_in(rng, i)
+            params, opt_state, metrics = self._train_step(params, opt_state, batch, step_rng)
+
+            if pending is not None:
+                self._log_metrics("train", *pending, sums)
+            pending = (epoch * len(dataloader) + i, metrics)
+            n_batches += 1
+        if pending is not None:
+            self._log_metrics("train", *pending, sums)
+
+        n = max(n_batches, 1)
+        avg = {k: sums[k] / n for k in LOSS_KEYS}
+        for k in LOSS_KEYS:
+            tag = "train_epoch/loss" if k == "total" else f"train_epoch/loss/{k}"
+            self.summary_writer.add_scalar(tag, avg[k], epoch)
+        print("TRAIN", {k: round(v, 4) for k, v in avg.items()})
+        return params, opt_state, avg
+
+    def _log_metrics(self, phase, step_no, metrics, sums):
+        vals = {k: float(metrics[k]) for k in LOSS_KEYS}
+        for k, v in vals.items():
+            tag = f"{phase}/loss" if k == "total" else f"{phase}/loss/{k}"
+            self.summary_writer.add_scalar(tag, v, step_no)
+            sums[k] += v
+
+    def test(self, model, params, dataloader, phase, epoch):
+        """Validation/test loss pass with teacher forcing off
+        (reference src/train.py:246-314)."""
+        sums = {k: 0.0 for k in LOSS_KEYS}
+        n_batches = 0
+        rng = jax.random.PRNGKey(0)
+        for i, batch in enumerate(dataloader):
+            batch = self._put_batch(batch)
+            metrics = self._eval_loss_step(params, batch, rng)
+            self._log_metrics(phase, epoch * len(dataloader) + i, metrics, sums)
+            n_batches += 1
+        n = max(n_batches, 1)
+        avg = {k: sums[k] / n for k in LOSS_KEYS}
+        for k in LOSS_KEYS:
+            tag = f"{phase}_epoch/loss" if k == "total" else f"{phase}_epoch/loss/{k}"
+            self.summary_writer.add_scalar(tag, avg[k], epoch)
+        print("TEST ", {k: round(v, 4) for k, v in avg.items()})
+        return avg
+
+    def eval(self, model, params, videocaptions_loader, phase, epoch,
+             mode="direct", get_scores=True, max_caption_len=30):
+        """Caption-generation eval (reference src/train.py:316-348)."""
+        vocab = getattr(videocaptions_loader.dataset, "vocab", None)
+        if vocab is None:
+            vocab = self._vocab
+        vid_gt, vid_gen = {}, {}
+        predict = self._get_predict_fn(model, max_caption_len)
+        for batch in videocaptions_loader:
+            b = self._put_batch(batch)
+            tokens = np.asarray(predict(params, b["audio"], b["visual"], b["feat_mask"]))
+            for row, vid, caps in zip(tokens, batch["video_ids"], batch["captions"]):
+                vid_gt[vid] = list(caps)
+                vid_gen[vid] = [vocab.decode_indexes(row[1:])]
+
+        print("\nExample captions: key >> [generated] (ground_truth)")
+        for i, key in enumerate(vid_gt):
+            print(f"{key} >> [{vid_gen[key][0]}] ({vid_gt[key][0]})")
+            if i >= 10:
+                break
+        print()
+
+        scores = None
+        if get_scores:
+            scores = NLPScore(vid_gt, vid_gen)
+            for name in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr"):
+                self.summary_writer.add_scalar(
+                    f"{phase}/score/{mode}/{name}", scores[name], epoch
+                )
+            print(scores)
+        return scores, vid_gt, vid_gen
+
+    def set_vocab(self, vocab):
+        self._vocab = vocab

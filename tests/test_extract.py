@@ -1,0 +1,252 @@
+"""Feature-extraction stack tests: log-mel frontend vs a numpy oracle, VGGish
+vs a torch-composed oracle with transplanted weights, Inception-v3 block
+parity + converted state_dict, and the batched extractor end-to-end over real
+encoded video files."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from mvc_tpu.models import inception_v3 as iv3
+from mvc_tpu.models import vggish as vg
+from mvc_tpu.ops import logmel
+
+
+# ------------------------------------------------------------------ log-mel
+def _numpy_logmel(wav):
+    """Direct numpy transcription of the VGGish frontend spec."""
+    window, hop, nfft = logmel.STFT_WINDOW, logmel.STFT_HOP, logmel.FFT_LENGTH
+    n = (len(wav) - window) // hop + 1
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(window) / window)
+    frames = np.stack([wav[i * hop : i * hop + window] * win for i in range(n)])
+    mag = np.abs(np.fft.rfft(frames, n=nfft, axis=-1))
+    mel = mag @ logmel.mel_filterbank()
+    return np.log(mel + logmel.LOG_OFFSET)
+
+
+def test_logmel_matches_numpy(rng):
+    wav = rng.normal(size=(16000,)).astype(np.float32)
+    ours = np.asarray(logmel.log_mel_spectrogram(jnp.asarray(wav)))
+    expected = _numpy_logmel(wav)
+    assert ours.shape == expected.shape == ((16000 - 400) // 160 + 1, 64)
+    np.testing.assert_allclose(ours, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_logmel_examples_shape(rng):
+    wav = rng.normal(size=(int(16000 * 2.5),)).astype(np.float32)
+    n = logmel.num_examples_for(wav.shape[0])
+    assert n == 2
+    ex = np.asarray(logmel.log_mel_examples(jnp.asarray(wav), n))
+    assert ex.shape == (2, 96, 64)
+    # shorter than one example -> 0 whole examples
+    assert logmel.num_examples_for(8000) == 0
+
+
+# ------------------------------------------------------------------ vggish
+def _torch_vggish():
+    """torchvggish architecture as a torch oracle (features/embeddings naming)."""
+    return torch.nn.ModuleDict({
+        "features": torch.nn.Sequential(
+            torch.nn.Conv2d(1, 64, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+            torch.nn.Conv2d(64, 128, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+            torch.nn.Conv2d(128, 256, 3, padding=1), torch.nn.ReLU(True),
+            torch.nn.Conv2d(256, 256, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+            torch.nn.Conv2d(256, 512, 3, padding=1), torch.nn.ReLU(True),
+            torch.nn.Conv2d(512, 512, 3, padding=1), torch.nn.ReLU(True), torch.nn.MaxPool2d(2, 2),
+        ),
+        "embeddings": torch.nn.Sequential(
+            torch.nn.Linear(512 * 4 * 6, 4096), torch.nn.ReLU(True),
+            torch.nn.Linear(4096, 4096), torch.nn.ReLU(True),
+            torch.nn.Linear(4096, 128), torch.nn.ReLU(True),
+        ),
+    })
+
+
+def test_vggish_matches_torch(rng):
+    oracle = _torch_vggish()
+    sd = {f"features.{k}": v for k, v in oracle["features"].state_dict().items()}
+    sd.update({f"embeddings.{k}": v for k, v in oracle["embeddings"].state_dict().items()})
+    params = vg.convert_torch_state_dict(sd)
+
+    x = rng.normal(size=(3, 96, 64)).astype(np.float32)
+    ours = np.asarray(vg.vggish_embeddings(params, jnp.asarray(x)))
+
+    with torch.no_grad():
+        t = torch.tensor(x).unsqueeze(1)                      # NCHW
+        feats = oracle["features"](t)
+        flat = feats.flatten(1)
+        expected = oracle["embeddings"](flat).numpy()
+    assert ours.shape == (3, 128)
+    np.testing.assert_allclose(ours, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_vggish_pca_postprocess(rng):
+    params = vg.init_vggish(jax.random.PRNGKey(0))
+    emb = rng.normal(size=(4, 128)).astype(np.float32)
+    pca = {
+        "matrix": jnp.asarray(np.eye(128, dtype=np.float32)),
+        "means": jnp.asarray(np.zeros((128, 1), np.float32)),
+    }
+    out = np.asarray(vg.pca_postprocess(pca, jnp.asarray(emb)))
+    assert out.min() >= 0 and out.max() <= 255
+    assert np.all(out == np.round(out))
+
+
+# ------------------------------------------------------------------ inception
+def test_conv_block_matches_torch_bn_fold(rng):
+    """Our folded conv+BN block == torch Conv2d + BatchNorm2d(eval) + relu."""
+    conv = torch.nn.Conv2d(3, 8, 3, stride=2, bias=False)
+    bn = torch.nn.BatchNorm2d(8, eps=1e-3)
+    bn.running_mean.data = torch.tensor(rng.normal(size=8).astype(np.float32))
+    bn.running_var.data = torch.tensor(rng.uniform(0.5, 2.0, size=8).astype(np.float32))
+    bn.weight.data = torch.tensor(rng.normal(size=8).astype(np.float32))
+    bn.bias.data = torch.tensor(rng.normal(size=8).astype(np.float32))
+    bn.eval()
+
+    sd = {
+        "blk.conv.weight": conv.weight,
+        "blk.bn.weight": bn.weight, "blk.bn.bias": bn.bias,
+        "blk.bn.running_mean": bn.running_mean, "blk.bn.running_var": bn.running_var,
+    }
+    # reuse the converter's fold via a minimal state dict
+    import mvc_tpu.models.inception_v3 as m
+
+    def fold_one():
+        w = sd["blk.conv.weight"].detach().numpy()
+        gamma = sd["blk.bn.weight"].detach().numpy()
+        beta = sd["blk.bn.bias"].detach().numpy()
+        mean = sd["blk.bn.running_mean"].detach().numpy()
+        var = sd["blk.bn.running_var"].detach().numpy()
+        scale = gamma / np.sqrt(var + 1e-3)
+        return {
+            "w": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+            "scale": jnp.asarray(scale),
+            "shift": jnp.asarray(beta - mean * scale),
+        }
+
+    x = rng.normal(size=(2, 11, 11, 3)).astype(np.float32)
+    ours = np.asarray(m.conv_block(fold_one(), jnp.asarray(x), stride=(2, 2)))
+    with torch.no_grad():
+        t = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+        expected = torch.relu(bn(conv(t))).numpy()
+    np.testing.assert_allclose(ours, np.transpose(expected, (0, 2, 3, 1)), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_inception_forward_shape():
+    params = iv3.init_inception_v3(jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 299, 299, 3))
+    feats = iv3.inception_v3_features(params, x)
+    assert feats.shape == (2, 2048)
+    assert np.all(np.isfinite(np.asarray(feats)))
+
+
+def test_state_dict_conversion_roundtrip(rng):
+    """A synthetic torchvision-style state_dict converts and produces the
+    same structure as init (shapes match leaf-for-leaf)."""
+    init_params = iv3.init_inception_v3(jax.random.PRNGKey(0))
+
+    sd = {}
+
+    def emit(prefix, hwio_shape):
+        kh, kw, cin, cout = hwio_shape
+        sd[f"{prefix}.conv.weight"] = rng.normal(size=(cout, cin, kh, kw)).astype(np.float32)
+        for n, v in (("weight", np.ones(cout)), ("bias", np.zeros(cout)),
+                     ("running_mean", np.zeros(cout)), ("running_var", np.ones(cout))):
+            sd[f"{prefix}.bn.{n}"] = v.astype(np.float32)
+
+    # walk our init tree to synthesize matching torchvision names
+    name_map = {
+        "branch5x5": ["branch5x5_1", "branch5x5_2"],
+        "branch3x3dbl": None,   # depends on block
+        "branch7x7": ["branch7x7_1", "branch7x7_2", "branch7x7_3"],
+        "branch7x7dbl": ["branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+                          "branch7x7dbl_4", "branch7x7dbl_5"],
+        "branch7x7x3": ["branch7x7x3_1", "branch7x7x3_2", "branch7x7x3_3", "branch7x7x3_4"],
+        "branch1x1": ["branch1x1"],
+        "branch_pool": ["branch_pool"],
+    }
+    for block, sub in init_params.items():
+        if block.startswith("Conv2d"):
+            emit(block, sub["w"].shape)
+            continue
+        for branch, convs in sub.items():
+            if branch == "branch3x3dbl":
+                if block.startswith("Mixed_7"):
+                    names = ["branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a", "branch3x3dbl_3b"]
+                else:
+                    names = ["branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3"]
+            elif branch == "branch3x3":
+                if block == "Mixed_6a":
+                    names = ["branch3x3"]
+                elif block == "Mixed_7a":
+                    names = ["branch3x3_1", "branch3x3_2"]
+                else:
+                    names = ["branch3x3_1", "branch3x3_2a", "branch3x3_2b"]
+            else:
+                names = name_map[branch]
+            for name, conv in zip(names, convs):
+                emit(f"{block}.{name}", conv["w"].shape)
+
+    converted = iv3.convert_torchvision_state_dict(sd)
+    flat_a = jax.tree.leaves(init_params)
+    flat_b = jax.tree.leaves(converted)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        assert a.shape == b.shape
+
+
+# ------------------------------------------------------------------ end-to-end
+def _write_test_video(path, n_frames=12, size=(64, 48), fps=4):
+    import cv2
+
+    fourcc = cv2.VideoWriter_fourcc(*"MJPG")
+    w = cv2.VideoWriter(path, fourcc, fps, size)
+    ok = w.isOpened()
+    gen = np.random.default_rng(0)
+    for i in range(n_frames):
+        frame = gen.integers(0, 255, size=(size[1], size[0], 3), dtype=np.uint8)
+        w.write(frame)
+    w.release()
+    return ok and os.path.getsize(path) > 0
+
+
+@pytest.mark.slow
+def test_extractor_end_to_end(tmp_path):
+    import cv2  # noqa: F401  (skip if unavailable)
+
+    from mvc_tpu.extract import FeatureExtractor
+
+    videos = tmp_path / "videos"
+    audios = tmp_path / "audios"
+    videos.mkdir(), audios.mkdir()
+    ok = _write_test_video(str(videos / "clipA_0_3.avi"))
+    if not ok:
+        pytest.skip("cv2 VideoWriter unavailable in this environment")
+    _write_test_video(str(videos / "clipB_0_3.avi"))
+
+    # one clip gets a real wav sidecar; the other exercises silence-fill
+    from scipy.io import wavfile
+
+    gen = np.random.default_rng(1)
+    wav = (gen.normal(size=32000) * 8000).astype(np.int16)
+    wavfile.write(str(audios / "clipA_0_3.wav"), 16000, wav)
+
+    fe = FeatureExtractor(frame_buckets=(8, 16), audio_buckets=(4, 8), decode_workers=2)
+    stats = fe.extract_dataset(str(videos), str(tmp_path / "features"), batch_size=2, verbose=False)
+    assert stats["done"] == 2 and stats["failures"] == 0
+
+    vf = np.load(tmp_path / "features" / "video" / "clipA_0_3.npy")
+    af = np.load(tmp_path / "features" / "audio" / "clipA_0_3.npy")
+    assert vf.shape[1] == 2048 and vf.shape[0] >= 1
+    assert af.shape == (2, 128)          # 2 s audio -> 2 examples
+    af_b = np.load(tmp_path / "features" / "audio" / "clipB_0_3.npy")
+    assert af_b.shape[0] == 3            # 3 s silence-fill -> 3 examples
+
+    # skip-existing
+    stats2 = fe.extract_dataset(str(videos), str(tmp_path / "features"), batch_size=2, verbose=False)
+    assert stats2["done"] == 0 and stats2["skipped"] == 2

@@ -1,0 +1,119 @@
+"""End-to-end tiny training: one Trainer.fit over the synthetic dataset on the
+8-device CPU mesh (dp=4, tp=2), with checkpoint/resume and overfit checks —
+the integration tier the reference lacks (SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from mvc_tpu.config import DecoderConfig, TrainerConfig
+from mvc_tpu.data import get_loader
+from mvc_tpu.models import AVCaptioningDual
+from mvc_tpu.parallel import make_mesh
+from mvc_tpu.training import Trainer, load_checkpoint
+from mvc_tpu.training.optimizer import PlateauScheduler
+
+# Tiny decoders (feature dims fixed by the data contract) keep XLA compile
+# times test-friendly.
+V_CFG = DecoderConfig(in_feature_size=2048, rnn_hidden_size=32, embedding_size=16, attn_size=8)
+A_CFG = DecoderConfig(in_feature_size=128, rnn_hidden_size=32, embedding_size=16, attn_size=8)
+
+
+def _model(vocab, rec_type="none"):
+    return AVCaptioningDual(
+        vocab_size=len(vocab), teacher_forcing_ratio=1.0, reconstructor_type=rec_type,
+        visual_decoder_config=V_CFG, audio_decoder_config=A_CFG,
+    )
+
+
+def _loaders(synthetic_msvd, batch_size=6):
+    kw = dict(
+        root_dir=str(synthetic_msvd), dataset="MSVD", batch_size=batch_size,
+        vocab_path=str(synthetic_msvd / "metadata" / "vocab.json"),
+        frame_buckets=(8,), caption_buckets=(12,), verbose=False,
+    )
+    train_loader, _ = get_loader(split="train", **kw)
+    val_loader, _ = get_loader(split="val", **kw)
+    return train_loader, val_loader
+
+
+@pytest.mark.parametrize("rec_type", ["none", "global"])
+def test_fit_end_to_end(synthetic_msvd, tmp_path, rec_type):
+    train_loader, val_loader = _loaders(synthetic_msvd)
+    vocab = train_loader.dataset.vocab
+    model = _model(vocab, rec_type)
+    params = model.init(jax.random.PRNGKey(0))
+
+    cfg = TrainerConfig()
+    cfg.epochs = 2
+    cfg.batch_size = 6
+    cfg.lr = 5e-3
+    cfg.frame_buckets = (8,)
+    cfg.caption_buckets = (12,)
+    cfg.eval_max_caption_len = 12
+
+    mesh = make_mesh(dp=4, tp=2)
+    ckpt = str(tmp_path / f"test_{rec_type}.ckpt")
+    trainer = Trainer(checkpoint_name=ckpt, log_dir=None, eval_freq=2, mesh=mesh)
+    params, opt_state, history = trainer.fit(
+        model, params, train_loader, val_loader, val_loader, cfg
+    )
+
+    assert len(history["train_loss"]) == 2
+    assert len(history["val_score"]) == 1
+    assert np.isfinite(history["train_loss"][-1]["total"])
+    # training reduces the loss on this tiny overfit set
+    assert history["train_loss"][-1]["ce"] < history["train_loss"][0]["ce"]
+    assert "CIDEr" in history["val_score"][0]
+    assert os.path.isfile(ckpt.replace(".ckpt", "_last.ckpt"))
+
+
+def test_resume_from_checkpoint(synthetic_msvd, tmp_path):
+    train_loader, val_loader = _loaders(synthetic_msvd)
+    vocab = train_loader.dataset.vocab
+    model = _model(vocab)
+
+    cfg = TrainerConfig()
+    cfg.epochs = 1
+    cfg.batch_size = 6
+    cfg.lr = 1e-3
+    cfg.frame_buckets = (8,)
+    cfg.caption_buckets = (12,)
+    cfg.eval_max_caption_len = 12
+
+    ckpt = str(tmp_path / "resume.ckpt")
+    t1 = Trainer(checkpoint_name=ckpt, log_dir=None, eval_freq=1)
+    params = model.init(jax.random.PRNGKey(0))
+    t1.fit(model, params, train_loader, val_loader, val_loader, cfg)
+    assert os.path.isfile(ckpt)
+    saved = load_checkpoint(ckpt)
+    assert saved["epoch"] == 1
+    assert "opt_state" in saved and saved["opt_state"] is not None
+
+    # second fit resumes at epoch 2 and extends history
+    cfg.epochs = 2
+    t2 = Trainer(checkpoint_name=ckpt, log_dir=None, eval_freq=1)
+    params2 = model.init(jax.random.PRNGKey(1))
+    _, _, history = t2.fit(model, params2, train_loader, val_loader, val_loader, cfg)
+    assert t2.previous_epochs == 1
+    assert len(history["train_loss"]) == 2
+
+
+def test_plateau_scheduler_semantics():
+    s = PlateauScheduler(lr=1.0, factor=0.5, patience=2, min_lr=0.1, mode="max")
+    for m in (0.5, 0.6, 0.7):
+        assert s.step(m) == 1.0           # improving
+    assert s.step(0.7) == 1.0             # bad 1
+    assert s.step(0.69) == 1.0            # bad 2
+    assert s.step(0.68) == 0.5            # bad 3 > patience -> decay
+    # decays clamp at min_lr
+    for _ in range(20):
+        lr = s.step(0.0)
+    assert lr == 0.1
+
+    state = s.state_dict()
+    s2 = PlateauScheduler(lr=9.0, mode="max")
+    s2.load_state_dict(state)
+    assert s2.lr == s.lr and s2.best == s.best
