@@ -32,6 +32,16 @@ def bench_ours() -> float:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the axon remote-compile path can be very slow
+    # on a cold program; cache what we can locally.
+    try:
+        os.makedirs("/root/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
     from mvc_tpu.models import AVCaptioningDual
 
     model = AVCaptioningDual(vocab_size=VOCAB, dtype=jnp.bfloat16)
@@ -46,12 +56,12 @@ def bench_ours() -> float:
             p, a, v, max_caption_len=MAX_LEN, mode="beam", beam_width=WIDTH
         )
     )
-    predict(params, audio, visual).block_until_ready()   # compile
-    iters = 10
+    np.asarray(predict(params, audio, visual))   # compile + hard sync
+    iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
         out = predict(params, audio, visual)
-    out.block_until_ready()
+    np.asarray(out)                              # device_get = hard sync
     dt = time.perf_counter() - t0
     return B * iters / dt
 
@@ -60,6 +70,21 @@ def bench_reference_baseline() -> float:
     """Reference beam_search_predict on torch CPU, same dims; captions/sec."""
     sys.path.insert(0, os.path.join("/root/reference", "src"))
     import torch
+
+    # The reference's models package imports torchvision/torch.hub encoders we
+    # don't need for the decoder benchmark; stub them if absent.
+    import types
+
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            tv = types.ModuleType("torchvision")
+            tv.models = types.ModuleType("torchvision.models")
+            tv.transforms = types.ModuleType("torchvision.transforms")
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.models"] = tv.models
+            sys.modules["torchvision.transforms"] = tv.transforms
 
     from models.features_captioning import FeaturesCaptioning  # reference import
 

@@ -1,0 +1,302 @@
+// mvc_tpu._native — C++ metrics runtime.
+//
+// Native equivalents of the reference's Java metric components (the only
+// native code in the reference, SURVEY.md §2.2):
+//   * meteor_stats : the METEOR alignment search (exact + stem stages,
+//                    closest-occurrence matching, chunk counting) —
+//                    replaces meteor-1.5.jar's aligner hot path
+//   * ptb_tokenize : Penn-Treebank word tokenization with the COCO
+//                    punctuation-strip contract — replaces the CoreNLP
+//                    PTBTokenizer subprocess
+//   * lcs          : longest-common-subsequence length (ROUGE-L hot loop)
+//
+// Built as a plain CPython extension (no pybind11). Python-side fallbacks in
+// mvc_tpu.evalcap produce identical results; tests assert equivalence.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <algorithm>
+#include <cctype>
+#include <cstdint>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+// ------------------------------------------------------------------ helpers
+std::vector<std::string> list_to_strings(PyObject* list) {
+  std::vector<std::string> out;
+  Py_ssize_t n = PyList_Size(list);
+  out.reserve(n);
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject* item = PyList_GetItem(list, i);  // borrowed
+    Py_ssize_t len = 0;
+    const char* s = PyUnicode_AsUTF8AndSize(item, &len);
+    out.emplace_back(s, static_cast<size_t>(len));
+  }
+  return out;
+}
+
+PyObject* strings_to_list(const std::vector<std::string>& v) {
+  PyObject* out = PyList_New(static_cast<Py_ssize_t>(v.size()));
+  for (size_t i = 0; i < v.size(); ++i) {
+    PyList_SetItem(out, static_cast<Py_ssize_t>(i),
+                   PyUnicode_FromStringAndSize(v[i].data(), v[i].size()));
+  }
+  return out;
+}
+
+// ------------------------------------------------------------------ METEOR
+// Staged greedy alignment identical to mvc_tpu.evalcap.meteor._align:
+// per stage (exact keys, then stem keys), each unmatched hyp word matches the
+// closest unmatched ref occurrence of the same key.
+struct Match {
+  int h;
+  int r;
+};
+
+void run_stage(const std::vector<std::string>& hyp_keys,
+               const std::vector<std::string>& ref_keys,
+               std::vector<char>& hyp_used, std::vector<char>& ref_used,
+               std::vector<Match>& matches) {
+  // index ref keys -> positions
+  std::unordered_map<std::string, std::vector<int>> ref_index;
+  for (int j = 0; j < static_cast<int>(ref_keys.size()); ++j) {
+    ref_index[ref_keys[j]].push_back(j);
+  }
+  for (int i = 0; i < static_cast<int>(hyp_keys.size()); ++i) {
+    if (hyp_used[i]) continue;
+    auto it = ref_index.find(hyp_keys[i]);
+    if (it == ref_index.end()) continue;
+    int best_j = -1, best_d = INT32_MAX;
+    for (int j : it->second) {
+      if (ref_used[j]) continue;
+      int d = std::abs(i - j);
+      if (d < best_d) {
+        best_d = d;
+        best_j = j;
+      }
+    }
+    if (best_j >= 0) {
+      hyp_used[i] = 1;
+      ref_used[best_j] = 1;
+      matches.push_back({i, best_j});
+    }
+  }
+}
+
+// meteor_stats(hyp, ref, hyp_stems, ref_stems, exact_weight, stem_weight)
+//   -> (weighted, matches, chunks)
+PyObject* meteor_stats(PyObject*, PyObject* args) {
+  PyObject *hyp_o, *ref_o, *hyp_s_o, *ref_s_o;
+  double w_exact = 1.0, w_stem = 0.6;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!|dd", &PyList_Type, &hyp_o, &PyList_Type,
+                        &ref_o, &PyList_Type, &hyp_s_o, &PyList_Type, &ref_s_o,
+                        &w_exact, &w_stem)) {
+    return nullptr;
+  }
+  auto hyp = list_to_strings(hyp_o);
+  auto ref = list_to_strings(ref_o);
+  auto hyp_stems = list_to_strings(hyp_s_o);
+  auto ref_stems = list_to_strings(ref_s_o);
+
+  std::vector<char> hyp_used(hyp.size(), 0), ref_used(ref.size(), 0);
+  std::vector<Match> matches;
+  run_stage(hyp, ref, hyp_used, ref_used, matches);
+  run_stage(hyp_stems, ref_stems, hyp_used, ref_used, matches);
+  std::sort(matches.begin(), matches.end(),
+            [](const Match& a, const Match& b) {
+              return a.h < b.h || (a.h == b.h && a.r < b.r);
+            });
+
+  double weighted = 0.0;
+  for (const auto& m : matches) {
+    weighted += (hyp[m.h] == ref[m.r]) ? w_exact : w_stem;
+  }
+  int chunks = matches.empty() ? 0 : 1;
+  for (size_t k = 1; k < matches.size(); ++k) {
+    if (!(matches[k].h == matches[k - 1].h + 1 &&
+          matches[k].r == matches[k - 1].r + 1)) {
+      ++chunks;
+    }
+  }
+  return Py_BuildValue("(dii)", weighted, static_cast<int>(matches.size()),
+                       chunks);
+}
+
+// ------------------------------------------------------------------ LCS
+PyObject* lcs(PyObject*, PyObject* args) {
+  PyObject *a_o, *b_o;
+  if (!PyArg_ParseTuple(args, "O!O!", &PyList_Type, &a_o, &PyList_Type, &b_o)) {
+    return nullptr;
+  }
+  auto a = list_to_strings(a_o);
+  auto b = list_to_strings(b_o);
+  if (a.size() < b.size()) std::swap(a, b);
+  if (b.empty()) return PyLong_FromLong(0);
+
+  // intern strings to ints for fast comparison
+  std::unordered_map<std::string, int> ids;
+  auto intern = [&ids](const std::string& s) {
+    auto it = ids.find(s);
+    if (it != ids.end()) return it->second;
+    int id = static_cast<int>(ids.size());
+    ids.emplace(s, id);
+    return id;
+  };
+  std::vector<int> ai, bi;
+  ai.reserve(a.size());
+  bi.reserve(b.size());
+  for (auto& s : a) ai.push_back(intern(s));
+  for (auto& s : b) bi.push_back(intern(s));
+
+  std::vector<int> prev(b.size() + 1, 0), cur(b.size() + 1, 0);
+  for (size_t i = 0; i < ai.size(); ++i) {
+    for (size_t j = 1; j <= bi.size(); ++j) {
+      cur[j] = (ai[i] == bi[j - 1]) ? prev[j - 1] + 1
+                                    : std::max(prev[j], cur[j - 1]);
+    }
+    std::swap(prev, cur);
+  }
+  return PyLong_FromLong(prev[b.size()]);
+}
+
+// ------------------------------------------------------------------ PTB
+const char* kPunct[] = {"''", "'",    "``",   "`",    "-lrb-", "-rrb-",
+                        "-lcb-", "-rcb-", ".",    "?",    "!",     ",",
+                        ":",     "-",     "--",   "...",  ";"};
+
+bool is_punct_token(const std::string& s) {
+  for (const char* p : kPunct) {
+    if (s == p) return true;
+  }
+  return false;
+}
+
+bool is_word_char(char c) { return std::isalpha(static_cast<unsigned char>(c)); }
+bool is_digit(char c) { return std::isdigit(static_cast<unsigned char>(c)); }
+
+const char* kContractions[] = {"n't", "'s", "'re", "'ve", "'ll", "'d", "'m"};
+
+void emit_word(std::string tok, std::vector<std::string>& out) {
+  // split trailing contraction
+  for (const char* c : kContractions) {
+    size_t cl = strlen(c);
+    if (tok.size() > cl &&
+        tok.compare(tok.size() - cl, cl, c) == 0) {
+      std::string head = tok.substr(0, tok.size() - cl);
+      if (!head.empty()) {
+        out.push_back(head);
+        out.push_back(tok.substr(tok.size() - cl));
+        return;
+      }
+    }
+  }
+  out.push_back(tok);
+}
+
+// ptb_tokenize(line) -> list of lowercased PTB tokens, punctuation stripped
+PyObject* ptb_tokenize(PyObject*, PyObject* args) {
+  const char* line_c;
+  Py_ssize_t line_len;
+  if (!PyArg_ParseTuple(args, "s#", &line_c, &line_len)) return nullptr;
+  std::string line(line_c, static_cast<size_t>(line_len));
+  // lowercase (ASCII; captions are English)
+  for (auto& ch : line) ch = static_cast<char>(std::tolower(static_cast<unsigned char>(ch)));
+
+  std::vector<std::string> out;
+  size_t i = 0;
+  const size_t n = line.size();
+  while (i < n) {
+    char c = line[i];
+    if (std::isspace(static_cast<unsigned char>(c))) {
+      ++i;
+      continue;
+    }
+    if (c == '.' && i + 2 < n && line[i + 1] == '.' && line[i + 2] == '.') {
+      i += 3;  // "..." is stripped punctuation
+      continue;
+    }
+    if (c == '-' && i + 1 < n && line[i + 1] == '-') {
+      i += 2;  // "--"
+      continue;
+    }
+    if (c == 'n' && line.compare(i, 3, "n't") == 0) {
+      // standalone "n't" outranks the word pattern (regex alternation order)
+      out.push_back("n't");
+      i += 3;
+      continue;
+    }
+    if (is_word_char(c)) {
+      size_t j = i;
+      bool used_apostrophe = false;  // words allow ONE internal apostrophe
+      while (j < n) {
+        if (is_word_char(line[j])) {
+          ++j;
+        } else if (line[j] == '\'' && !used_apostrophe && j > i && j + 1 < n &&
+                   is_word_char(line[j + 1])) {
+          used_apostrophe = true;
+          ++j;
+        } else {
+          break;
+        }
+      }
+      emit_word(line.substr(i, j - i), out);
+      i = j;
+      continue;
+    }
+    if (is_digit(c)) {
+      size_t j = i;
+      while (j < n && (is_digit(line[j]) ||
+                       ((line[j] == '.' || line[j] == ',') && j + 1 < n && is_digit(line[j + 1])))) {
+        ++j;
+      }
+      out.push_back(line.substr(i, j - i));
+      i = j;
+      continue;
+    }
+    if (c == '\'') {
+      // standalone contraction tokens ('s 're 've 'll 'd 'm) as in the
+      // Python regex alternation
+      static const char* kApos[] = {"'s", "'re", "'ve", "'ll", "'d", "'m"};
+      bool matched = false;
+      for (const char* a : kApos) {
+        size_t al = strlen(a);
+        if (line.compare(i, al, a) == 0) {
+          out.push_back(a);
+          i += al;
+          matched = true;
+          break;
+        }
+      }
+      if (matched) continue;
+    }
+    // single punctuation char; map brackets to PTB names
+    std::string tok(1, c);
+    if (c == '(') tok = "-lrb-";
+    else if (c == ')') tok = "-rrb-";
+    else if (c == '{') tok = "-lcb-";
+    else if (c == '}') tok = "-rcb-";
+    if (!is_punct_token(tok)) out.push_back(tok);
+    ++i;
+  }
+  return strings_to_list(out);
+}
+
+PyMethodDef kMethods[] = {
+    {"meteor_stats", meteor_stats, METH_VARARGS,
+     "METEOR alignment stats: (hyp, ref, hyp_stems, ref_stems[, w_exact, w_stem]) -> (weighted, matches, chunks)"},
+    {"lcs", lcs, METH_VARARGS, "LCS length of two token lists"},
+    {"ptb_tokenize", ptb_tokenize, METH_VARARGS,
+     "PTB tokenize + lowercase + COCO punctuation strip"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef kModule = {PyModuleDef_HEAD_INIT, "_native",
+                       "Native metrics runtime for mvc_tpu", -1, kMethods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__native(void) { return PyModule_Create(&kModule); }

@@ -32,6 +32,11 @@ BETA = 0.2
 GAMMA = 0.6
 STAGE_WEIGHTS = (1.0, 0.6)  # exact, stem
 
+try:  # C++ aligner (csrc/native.cpp); Python fallback below is identical
+    from mvc_tpu import _native as _native_mod
+except ImportError:
+    _native_mod = None
+
 
 def _align(hyp: Sequence[str], ref: Sequence[str]) -> List[Tuple[int, int]]:
     """Greedy staged alignment.  Returns (hyp_idx, ref_idx) pairs, at most one
@@ -76,6 +81,13 @@ def _count_chunks(matches: List[Tuple[int, int]]) -> int:
 
 def _segment_stats(hyp: Sequence[str], ref: Sequence[str]):
     """(weighted_matches, total_matches, chunks, len_hyp, len_ref)."""
+    if _native_mod is not None:
+        weighted, m, chunks = _native_mod.meteor_stats(
+            list(hyp), list(ref),
+            [porter_stem(w) for w in hyp], [porter_stem(w) for w in ref],
+            STAGE_WEIGHTS[0], STAGE_WEIGHTS[1],
+        )
+        return weighted, m, chunks, len(hyp), len(ref)
     matches = _align(hyp, ref)
     # weighted: exact matches weight 1.0, stem-only matches 0.6
     weighted = 0.0

@@ -7,10 +7,17 @@ from __future__ import annotations
 
 from typing import Dict, List
 
+try:  # C++ DP (csrc/native.cpp)
+    from mvc_tpu import _native as _native_mod
+except ImportError:
+    _native_mod = None
+
 
 def lcs_length(a: List[str], b: List[str]) -> int:
     """Length of the longest common subsequence (O(len(a)*len(b)) DP with a
     rolling row)."""
+    if _native_mod is not None:
+        return _native_mod.lcs(list(a), list(b))
     if len(a) < len(b):
         a, b = b, a
     if not b:

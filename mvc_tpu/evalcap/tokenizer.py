@@ -46,8 +46,25 @@ def _split_word(tok: str) -> List[str]:
     return [tok]
 
 
+try:  # C++ scanner (csrc/native.cpp); the pure-Python path below is identical
+    from mvc_tpu import _native as _native_mod
+except ImportError:
+    _native_mod = None
+
+
 def ptb_tokenize_line(line: str) -> List[str]:
     """PTB word tokens of one caption, lowercased, punctuation stripped."""
+    if _native_mod is not None:
+        try:
+            return _native_mod.ptb_tokenize(line)
+        except Exception:
+            pass  # non-ASCII edge: fall through to the Python path
+    return _ptb_tokenize_line_py(line)
+
+
+def _ptb_tokenize_line_py(line: str) -> List[str]:
+    # lowercase first so contraction handling is case-uniform
+    line = line.lower()
     out: List[str] = []
     for m in _TOKEN_RE.finditer(line):
         tok = m.group(0)

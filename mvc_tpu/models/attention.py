@@ -38,7 +38,7 @@ def init_attention(key, hidden_size: int, feature_size: int, bottleneck_size: in
 
 def precompute_keys(params, feats: jnp.ndarray) -> jnp.ndarray:
     """[B, T, F] -> [B, T, A]; hoisted out of the decode scan."""
-    return feats @ params["U"]
+    return feats @ params["U"].astype(feats.dtype)
 
 
 def masked_softmax(energies: jnp.ndarray, mask: Optional[jnp.ndarray], axis: int = -1) -> jnp.ndarray:
@@ -66,8 +66,9 @@ def attend(
     """Returns (context [B, F], weights [B, T])."""
     if keys is None:
         keys = precompute_keys(params, feats)
-    query = hidden @ params["W"]                      # [B, A]
-    energies = jnp.tanh(query[:, None, :] + keys + params["b"]) @ params["w"]  # [B, T]
+    d = keys.dtype
+    query = hidden.astype(d) @ params["W"].astype(d)  # [B, A]
+    energies = jnp.tanh(query[:, None, :] + keys + params["b"].astype(d)) @ params["w"].astype(d)
     weights = masked_softmax(energies, mask, axis=1)
     context = jnp.einsum("bt,btf->bf", weights, feats)
     return context, weights

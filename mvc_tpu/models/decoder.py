@@ -61,7 +61,7 @@ def decoder_step(
     x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
     _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
     h_new = rnn.state_hidden(cfg.rnn_type, new_state)
-    logits = (h_new @ params["out"]["w"] + params["out"]["b"]).astype(jnp.float32)
+    logits = (h_new @ params["out"]["w"].astype(dtype) + params["out"]["b"].astype(dtype)).astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     return log_probs, new_state, weights
 
@@ -144,13 +144,15 @@ def decoder_beam_step(
     ap = params["attention"]
     embedded = params["embedding"]["table"][prev_tokens].astype(dtype)   # [B, W, E]
     h = rnn.state_hidden(cfg.rnn_type, state)                            # [B, W, H]
-    query = h @ ap["W"]                                                  # [B, W, A]
-    energies = jnp.tanh(query[:, :, None, :] + keys[:, None, :, :] + ap["b"]) @ ap["w"]  # [B, W, T]
+    query = h @ ap["W"].astype(dtype)                                    # [B, W, A]
+    energies = jnp.tanh(
+        query[:, :, None, :] + keys[:, None, :, :] + ap["b"].astype(dtype)
+    ) @ ap["w"].astype(dtype)                                            # [B, W, T]
     mask = feat_mask[:, None, :] if feat_mask is not None else None
     weights = attn.masked_softmax(energies, mask, axis=-1)
     context = jnp.einsum("bwt,btf->bwf", weights, feats)                 # [B, W, F]
     x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
     _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
     h_new = rnn.state_hidden(cfg.rnn_type, new_state)
-    logits = (h_new @ params["out"]["w"] + params["out"]["b"]).astype(jnp.float32)
+    logits = (h_new @ params["out"]["w"].astype(dtype) + params["out"]["b"].astype(dtype)).astype(jnp.float32)
     return jax.nn.log_softmax(logits, axis=-1), new_state

@@ -27,9 +27,16 @@ def init_gru(key, in_size: int, hidden_size: int, dtype=jnp.float32):
 
 
 def lstm_step(params, x: jnp.ndarray, state: Tuple[jnp.ndarray, jnp.ndarray]):
-    """x: [B, in], state: (h, c) each [B, H] -> (h', (h', c'))."""
+    """x: [B, in], state: (h, c) each [B, H] -> (h', (h', c')).
+
+    Weights are cast to the activation dtype so bf16 compute keeps a bf16
+    carry (params stay f32 master copies)."""
     h, c = state
-    gates = x @ params["wi"] + h @ params["wh"] + params["bi"] + params["bh"]
+    d = x.dtype
+    gates = (
+        x @ params["wi"].astype(d) + h @ params["wh"].astype(d)
+        + (params["bi"] + params["bh"]).astype(d)
+    )
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
@@ -42,8 +49,9 @@ def gru_step(params, x: jnp.ndarray, state: jnp.ndarray):
     torch GRU: n = tanh(W_in x + b_in + r * (W_hn h + b_hn)).
     """
     h = state
-    gi = x @ params["wi"] + params["bi"]
-    gh = h @ params["wh"] + params["bh"]
+    d = x.dtype
+    gi = x @ params["wi"].astype(d) + params["bi"].astype(d)
+    gh = h @ params["wh"].astype(d) + params["bh"].astype(d)
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(i_r + h_r)

@@ -1,0 +1,79 @@
+"""C++ extension (csrc/native.cpp) equivalence with the pure-Python metric
+paths.  The extension is built on demand so a fresh checkout stays green."""
+
+import random
+import string
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def native():
+    try:
+        from mvc_tpu import _native
+        return _native
+    except ImportError:
+        r = subprocess.run(
+            [sys.executable, "csrc/setup.py", "build_ext", "--build-lib", "."],
+            cwd="/root/repo", capture_output=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"native build failed: {r.stderr.decode()[-400:]}")
+        from mvc_tpu import _native
+        return _native
+
+
+def test_ptb_tokenize_equivalence(native):
+    from mvc_tpu.evalcap.tokenizer import _ptb_tokenize_line_py
+
+    rng = random.Random(0)
+    alphabet = string.ascii_letters + string.digits + " .,!?'()-{}[]:;\"`"
+    cases = [
+        "A man, playing (guitar)!", "don't stop...", "it's 3.5 meters",
+        "n't alone", "rock'n'roll", "'Sup", "O'clock at 5 o'clock",
+    ]
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 50)))
+              for _ in range(1000)]
+    for c in cases:
+        assert native.ptb_tokenize(c) == _ptb_tokenize_line_py(c), repr(c)
+
+
+def test_meteor_stats_equivalence(native):
+    from mvc_tpu.evalcap import meteor as m
+    from mvc_tpu.evalcap.stemmer import porter_stem
+
+    rng = random.Random(1)
+    words = ["the", "dog", "dogs", "runs", "running", "ran", "a", "cat",
+             "plays", "played", "guitar", "man", "quickly", "big"]
+    for _ in range(300):
+        hyp = [rng.choice(words) for _ in range(rng.randint(0, 12))]
+        ref = [rng.choice(words) for _ in range(rng.randint(1, 12))]
+        matches = m._align(hyp, ref)
+        py_weighted = sum(
+            m.STAGE_WEIGHTS[0] if hyp[i] == ref[j] else m.STAGE_WEIGHTS[1]
+            for i, j in matches
+        )
+        py = (py_weighted, len(matches), m._count_chunks(matches))
+        cpp = native.meteor_stats(
+            hyp, ref, [porter_stem(w) for w in hyp], [porter_stem(w) for w in ref]
+        )
+        assert cpp[1] == py[1] and cpp[2] == py[2], (hyp, ref, cpp, py)
+        assert abs(cpp[0] - py[0]) < 1e-9
+
+
+def test_lcs_equivalence(native):
+    rng = random.Random(2)
+    vocab = list("abcdefg")
+    for _ in range(200):
+        a = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+        b = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+        # python DP oracle
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, start=1):
+                cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+            prev = cur
+        assert native.lcs(a, b) == prev[len(b)]
