@@ -77,7 +77,10 @@ def beam_search(
         new_cum = jnp.take_along_axis(cand.reshape(B, W * V), topk_idx, axis=1)
 
         def regather(x):
-            # x: [B, W, ...] -> x[b, beam_idx[b, k]]
+            # x: [B, W, ...] -> x[b, beam_idx[b, k]]; leaves without a beam
+            # axis (e.g. step counters) pass through unchanged
+            if x.ndim < 2 or x.shape[:2] != (B, W):
+                return x
             idx = beam_idx.reshape(B, W, *([1] * (x.ndim - 2)))
             return jnp.take_along_axis(x, idx, axis=1)
 

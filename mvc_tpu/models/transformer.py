@@ -1,0 +1,256 @@
+"""Multimodal transformer captioner.
+
+The reference ships an MDVC-derived audio+video transformer that is dead code
+and would crash if called (its generator is invoked with the wrong arity —
+reference src/models/transformer.py:245,338; never imported by
+models/__init__.py).  This is a working TPU-native realization of that
+capability: per-modality encoders, a shared caption decoder with causal
+self-attention + per-modality cross-attention, and late-fusion log-prob
+averaging, all pre-norm (the reference's ResidualConnection is pre-norm,
+src/models/transformer.py:143-153).
+
+API-compatible with the RNN captioners where it matters: ``forward`` returns
+``[L, B, V]`` log-probs with row 0 zeroed (same loss contract), ``predict_tokens``
+supports greedy and beam via the shared beam machinery, reconstructors are
+N/A (``reconstructor_type == "none"``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvc_tpu.config import AUDIO_FEATURE_DIM, SOS_ID, VISUAL_FEATURE_DIM
+from mvc_tpu.models import beam as beam_mod
+from mvc_tpu.models.initializers import embedding_params, linear_params
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 1024
+    d_model: int = 512
+    num_heads: int = 8
+    num_layers: int = 2
+    d_ff: int = 2048
+    visual_dim: int = VISUAL_FEATURE_DIM
+    audio_dim: int = AUDIO_FEATURE_DIM
+    max_len: int = 3660     # positional-encoding cap (reference transformer.py:52)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+# ----------------------------------------------------------------- primitives
+def _layernorm_init(d):
+    return {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+
+
+def _layernorm(p, x, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _mha_init(key, d_model):
+    k = jax.random.split(key, 4)
+    return {n: linear_params(kk, d_model, d_model) for n, kk in zip(("q", "k", "v", "o"), k)}
+
+
+def _mha(p, q_in, kv_in, num_heads, mask=None):
+    """q_in: [B, Lq, D], kv_in: [B, Lk, D], mask broadcastable to
+    [B, heads, Lq, Lk] (True = attendable)."""
+    B, Lq, D = q_in.shape
+    Lk = kv_in.shape[1]
+    hd = D // num_heads
+
+    def proj(pp, x):
+        return (x @ pp["w"] + pp["b"]).reshape(B, -1, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q = proj(p["q"], q_in)
+    k = proj(p["k"], kv_in)
+    v = proj(p["v"], kv_in)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e9)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    return out @ p["o"]["w"] + p["o"]["b"]
+
+
+def _ffn_init(key, d_model, d_ff):
+    k1, k2 = jax.random.split(key)
+    return {"in": linear_params(k1, d_model, d_ff), "out": linear_params(k2, d_ff, d_model)}
+
+
+def _ffn(p, x):
+    return jax.nn.relu(x @ p["in"]["w"] + p["in"]["b"]) @ p["out"]["w"] + p["out"]["b"]
+
+
+def positional_encoding(max_len: int, d_model: int) -> np.ndarray:
+    pos = np.arange(max_len)[:, None]
+    i = np.arange(d_model)[None, :]
+    angle = pos / np.power(10000.0, (2 * (i // 2)) / d_model)
+    pe = np.where(i % 2 == 0, np.sin(angle), np.cos(angle))
+    return pe.astype(np.float32)
+
+
+# ----------------------------------------------------------------- stacks
+def _encoder_layer_init(key, cfg):
+    k = jax.random.split(key, 4)
+    return {
+        "ln1": _layernorm_init(cfg.d_model), "attn": _mha_init(k[0], cfg.d_model),
+        "ln2": _layernorm_init(cfg.d_model), "ffn": _ffn_init(k[1], cfg.d_model, cfg.d_ff),
+    }
+
+
+def _encoder_layer(p, x, cfg, mask):
+    x = x + _mha(p["attn"], _layernorm(p["ln1"], x), _layernorm(p["ln1"], x), cfg.num_heads, mask)
+    x = x + _ffn(p["ffn"], _layernorm(p["ln2"], x))
+    return x
+
+
+def _decoder_layer_init(key, cfg):
+    k = jax.random.split(key, 3)
+    return {
+        "ln1": _layernorm_init(cfg.d_model), "self": _mha_init(k[0], cfg.d_model),
+        "ln2": _layernorm_init(cfg.d_model), "cross": _mha_init(k[1], cfg.d_model),
+        "ln3": _layernorm_init(cfg.d_model), "ffn": _ffn_init(k[2], cfg.d_model, cfg.d_ff),
+    }
+
+
+def _decoder_layer(p, x, memory, cfg, self_mask, cross_mask):
+    h = _layernorm(p["ln1"], x)
+    x = x + _mha(p["self"], h, h, cfg.num_heads, self_mask)
+    x = x + _mha(p["cross"], _layernorm(p["ln2"], x), memory, cfg.num_heads, cross_mask)
+    x = x + _ffn(p["ffn"], _layernorm(p["ln3"], x))
+    return x
+
+
+class TransformerCaptioning:
+    """Audio+video transformer captioner with late log-prob fusion."""
+
+    reconstructor_type = "none"
+
+    def __init__(self, vocab_size: int, config: Optional[TransformerConfig] = None,
+                 teacher_forcing_ratio: float = 1.0, dtype=jnp.float32):
+        del teacher_forcing_ratio  # transformers always teacher-force in training
+        base = config or TransformerConfig()
+        self.cfg = base.replace(vocab_size=vocab_size)
+        self.vocab_size = vocab_size
+        self.dtype = dtype
+        self._pe = jnp.asarray(positional_encoding(self.cfg.max_len, self.cfg.d_model))
+
+    def init(self, key) -> Dict:
+        cfg = self.cfg
+        keys = jax.random.split(key, 8 + 4 * cfg.num_layers)
+        params = {
+            "embedding": embedding_params(keys[0], cfg.vocab_size, cfg.d_model),
+            "visual_in": linear_params(keys[1], cfg.visual_dim, cfg.d_model),
+            "audio_in": linear_params(keys[2], cfg.audio_dim, cfg.d_model),
+            "v_encoder": [], "a_encoder": [], "v_decoder": [], "a_decoder": [],
+            "ln_v": _layernorm_init(cfg.d_model),
+            "ln_a": _layernorm_init(cfg.d_model),
+            "generator": linear_params(keys[3], cfg.d_model, cfg.vocab_size),
+        }
+        ki = 4
+        for _ in range(cfg.num_layers):
+            params["v_encoder"].append(_encoder_layer_init(keys[ki], self.cfg)); ki += 1
+            params["a_encoder"].append(_encoder_layer_init(keys[ki], self.cfg)); ki += 1
+            params["v_decoder"].append(_decoder_layer_init(keys[ki], self.cfg)); ki += 1
+            params["a_decoder"].append(_decoder_layer_init(keys[ki], self.cfg)); ki += 1
+        return params
+
+    # ------------------------------------------------------------ encode
+    def _encode(self, params, audio, visual, feat_mask):
+        cfg = self.cfg
+        T = visual.shape[1]
+        v = (visual.astype(self.dtype) @ params["visual_in"]["w"] + params["visual_in"]["b"])
+        a = (audio.astype(self.dtype) @ params["audio_in"]["w"] + params["audio_in"]["b"])
+        v = v + self._pe[:T]
+        a = a + self._pe[:T]
+        enc_mask = None
+        if feat_mask is not None:
+            enc_mask = feat_mask[:, None, None, :]
+        for vl, al in zip(params["v_encoder"], params["a_encoder"]):
+            v = _encoder_layer(vl, v, cfg, enc_mask)
+            a = _encoder_layer(al, a, cfg, enc_mask)
+        return a, v, enc_mask
+
+    def _decode_logits(self, params, tokens, a_mem, v_mem, cross_mask):
+        """tokens: [B, L] -> fused log-probs [B, L, V]."""
+        cfg = self.cfg
+        B, L = tokens.shape
+        x = params["embedding"]["table"][tokens].astype(self.dtype) + self._pe[:L]
+        causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
+        xv, xa = x, x
+        for vl, al in zip(params["v_decoder"], params["a_decoder"]):
+            xv = _decoder_layer(vl, xv, v_mem, cfg, causal, cross_mask)
+            xa = _decoder_layer(al, xa, a_mem, cfg, causal, cross_mask)
+        g = params["generator"]
+        v_logp = jax.nn.log_softmax((_layernorm(params["ln_v"], xv) @ g["w"] + g["b"]).astype(jnp.float32), -1)
+        a_logp = jax.nn.log_softmax((_layernorm(params["ln_a"], xa) @ g["w"] + g["b"]).astype(jnp.float32), -1)
+        # late fusion: average of the modality log-probs (a working version of
+        # the reference's broken generator fusion, transformer.py:236-249)
+        return 0.5 * (v_logp + a_logp)
+
+    # ------------------------------------------------------------ api
+    def forward(self, params, audio, visual, captions, rng=None,
+                teacher_forcing_ratio=None, feat_mask=None):
+        """captions: [L, B] -> (outputs [L, B, V] log-probs with row 0 zeroed,
+        None, None) — the RNN captioners' loss contract."""
+        del rng, teacher_forcing_ratio
+        a_mem, v_mem, cross_mask = self._encode(params, audio, visual, feat_mask)
+        tokens = captions.T                                   # [B, L]
+        logp = self._decode_logits(params, tokens[:, :-1], a_mem, v_mem, cross_mask)
+        # position t predicts token t+1; align to the [L, B, V] contract
+        out = jnp.transpose(logp, (1, 0, 2))                  # [L-1, B, V]
+        zeros = jnp.zeros((1,) + out.shape[1:], out.dtype)
+        return jnp.concatenate([zeros, out], axis=0), None, None
+
+    def predict_tokens(self, params, audio, visual, max_caption_len=30,
+                       mode="direct", beam_alpha=0.0, beam_width=5, feat_mask=None):
+        a_mem, v_mem, cross_mask = self._encode(params, audio, visual, feat_mask)
+        B = visual.shape[0]
+        L = int(max_caption_len)
+
+        if mode == "direct":
+            def step(tokens, t):
+                logp = self._decode_logits(params, tokens, a_mem, v_mem, cross_mask)
+                nxt = jnp.argmax(logp[:, t - 1], axis=-1).astype(jnp.int32)
+                return jax.lax.dynamic_update_index_in_dim(tokens, nxt, t, 1), None
+
+            tokens0 = jnp.full((B, L), SOS_ID, dtype=jnp.int32)
+            tokens, _ = jax.lax.scan(step, tokens0, jnp.arange(1, L))
+            return tokens
+        if mode != "beam":
+            raise ValueError(f"mode must be 'direct' or 'beam', got {mode}")
+
+        W = beam_width
+        a_rep = jnp.repeat(a_mem, W, axis=0)
+        v_rep = jnp.repeat(v_mem, W, axis=0)
+        c_rep = jnp.repeat(cross_mask, W, axis=0) if cross_mask is not None else None
+        Lh = max_caption_len + 2
+
+        def step_fn(prev, state):
+            tokens, t = state                                  # [B, W, Lh], scalar
+            tokens = jax.lax.dynamic_update_index_in_dim(tokens, prev, t, 2)
+            flat = tokens.reshape(B * W, Lh)
+            logp = self._decode_logits(params, flat, a_rep, v_rep, c_rep)
+            logp_t = jax.lax.dynamic_index_in_dim(logp, t, axis=1, keepdims=False)
+            return logp_t.reshape(B, W, -1), (tokens, t + 1)
+
+        init_tokens = jnp.full((B, W, Lh), SOS_ID, dtype=jnp.int32)
+        return beam_mod.beam_search(
+            step_fn, (init_tokens, jnp.asarray(0, jnp.int32)), B, self.vocab_size,
+            max_caption_len=max_caption_len, beam_alpha=beam_alpha, beam_width=beam_width,
+        )
+
+    def predict(self, params, vocab, audio, visual, **kw):
+        from mvc_tpu.models.captioning import captions_from_tokens
+
+        return captions_from_tokens(vocab, self.predict_tokens(params, audio, visual, **kw))

@@ -149,7 +149,14 @@ class Trainer:
             print("No checkpoint found, using default parameters...")
             return params, None
         print(f"Resuming training from checkpoint: {self.checkpoint_name}")
-        params = restore_params_like(params, ckpt["params"])
+        try:
+            params = restore_params_like(params, ckpt["params"])
+        except (ValueError, TypeError) as e:
+            # structure mismatch (different model family at this path) — train
+            # fresh, like the reference's swallow-and-continue (train.py:45-62)
+            print(f"Error loading from checkpoint: {self.checkpoint_name} ({e}).\n"
+                  "Using default parameters...")
+            return params, None
         return params, ckpt
 
     def _save(self, epoch, params, opt_state, extra=None):
@@ -279,9 +286,18 @@ class Trainer:
     def train(self, model, params, opt_state, dataloader, epoch, rng):
         sums = {k: 0.0 for k in LOSS_KEYS}
         n_batches = 0
+        n_samples = 0
         pending = None  # (step_no, metrics) — log one step behind to avoid sync
 
+        # Optional profiler trace of this epoch (SURVEY.md §5: tracing hooks).
+        profile_dir = os.environ.get("MVC_PROFILE_DIR")
+        do_profile = bool(profile_dir) and epoch == self.previous_epochs + 1
+        if do_profile:
+            jax.profiler.start_trace(profile_dir)
+
+        t0 = time.time()
         for i, batch in enumerate(dataloader):
+            n_samples += int(batch["sample_mask"].sum())
             batch = self._put_batch(batch)
             step_rng = jax.random.fold_in(rng, i)
             params, opt_state, metrics = self._train_step(params, opt_state, batch, step_rng)
@@ -292,13 +308,19 @@ class Trainer:
             n_batches += 1
         if pending is not None:
             self._log_metrics("train", *pending, sums)
+        dt = time.time() - t0
+        if do_profile:
+            jax.profiler.stop_trace()
 
         n = max(n_batches, 1)
         avg = {k: sums[k] / n for k in LOSS_KEYS}
         for k in LOSS_KEYS:
             tag = "train_epoch/loss" if k == "total" else f"train_epoch/loss/{k}"
             self.summary_writer.add_scalar(tag, avg[k], epoch)
-        print("TRAIN", {k: round(v, 4) for k, v in avg.items()})
+        throughput = n_samples / max(dt, 1e-9)
+        self.summary_writer.add_scalar("train_epoch/samples_per_sec", throughput, epoch)
+        print("TRAIN", {k: round(v, 4) for k, v in avg.items()},
+              f"[{throughput:.1f} samples/s]")
         return params, opt_state, avg
 
     def _log_metrics(self, phase, step_no, metrics, sums):
@@ -335,12 +357,15 @@ class Trainer:
             vocab = self._vocab
         vid_gt, vid_gen = {}, {}
         predict = self._get_predict_fn(model, max_caption_len)
+        t0 = time.time()
         for batch in videocaptions_loader:
             b = self._put_batch(batch)
             tokens = np.asarray(predict(params, b["audio"], b["visual"], b["feat_mask"]))
             for row, vid, caps in zip(tokens, batch["video_ids"], batch["captions"]):
                 vid_gt[vid] = list(caps)
                 vid_gen[vid] = [vocab.decode_indexes(row[1:])]
+        captions_per_sec = len(vid_gen) / max(time.time() - t0, 1e-9)
+        self.summary_writer.add_scalar(f"{phase}/captions_per_sec", captions_per_sec, epoch)
 
         print("\nExample captions: key >> [generated] (ground_truth)")
         for i, key in enumerate(vid_gt):

@@ -57,6 +57,8 @@ def main():
                         help="run a single experiment with this reconstructor")
     parser.add_argument("--video_only", action="store_true")
     parser.add_argument("--single", action="store_true", help="single-stream AVCaptioning instead of dual")
+    parser.add_argument("--model", default="rnn", choices=["rnn", "transformer"],
+                        help="captioner family (transformer is a working version of the reference's dead code)")
     parser.add_argument("--eval_freq", default=1, type=int)
     # TPU extensions
     parser.add_argument("--dp", default=-1, type=int, help="data-parallel mesh axis (-1: all devices)")
@@ -103,8 +105,8 @@ def main():
                     "audio_recon_lambda": 0.0 if args.video_only else 0.00005,
                     "visual_recon_lambda": 0.5,
                 },
-                "checkpoint_name": f"SA-LSTM_{args.epochs}_epochs_custom_{rec}_{args.lr}",
-                "log_dir": os.path.join("logs", args.dataset, f"custom_{rec}_{args.lr}"),
+                "checkpoint_name": f"{args.model}_{args.epochs}_epochs_custom_{rec}_{args.lr}",
+                "log_dir": os.path.join("logs", args.dataset, f"{args.model}_custom_{rec}_{args.lr}"),
                 "video_only": args.video_only,
             }
         ]
@@ -140,13 +142,18 @@ def main():
         # reference src/train.py:504-507); kept for interface parity.
         test_loader, _ = get_loader(split="val", **loader_kwargs)
 
-        model_cls = AVCaptioning if args.single else AVCaptioningDual
-        model = model_cls(
-            vocab_size=len(vocab),
-            teacher_forcing_ratio=exp["model"]["teacher_forcing_ratio"],
-            reconstructor_type=exp["model"]["reconstructor_type"],
-            dtype=dtype,
-        )
+        if args.model == "transformer":
+            from mvc_tpu.models.transformer import TransformerCaptioning
+
+            model = TransformerCaptioning(vocab_size=len(vocab), dtype=dtype)
+        else:
+            model_cls = AVCaptioning if args.single else AVCaptioningDual
+            model = model_cls(
+                vocab_size=len(vocab),
+                teacher_forcing_ratio=exp["model"]["teacher_forcing_ratio"],
+                reconstructor_type=exp["model"]["reconstructor_type"],
+                dtype=dtype,
+            )
         params = model.init(jax.random.PRNGKey(cfg.seed))
 
         print("Start training")
