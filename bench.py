@@ -127,7 +127,29 @@ def get_baseline() -> float:
         return float("nan")
 
 
+def _wait_for_device(delay: float = 30.0, max_relaunches: int = 10):
+    """The axon tunnel grants the chip to one process at a time; the claim
+    happens at interpreter startup (sitecustomize) and cannot be retried
+    in-process — re-exec after a delay if it failed."""
+    import time
+
+    import jax
+
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        n = int(os.environ.get("MVC_BENCH_RELAUNCH", "0"))
+        if n >= max_relaunches:
+            raise
+        print(f"device claim failed ({e}); re-exec {n + 1}/{max_relaunches}", file=sys.stderr)
+        time.sleep(delay)
+        os.environ["MVC_BENCH_RELAUNCH"] = str(n + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
+    _wait_for_device()
     ours = bench_ours()
     base = get_baseline()
     vs = ours / base if np.isfinite(base) and base > 0 else None

@@ -126,7 +126,7 @@ class FeatureExtractor:
     def extract_batch(self, filenames: Sequence[str]) -> List[Tuple[np.ndarray, np.ndarray]]:
         """Extract many clips with one (or few) device program launches.
         Returns [(video_features, audio_features)] in input order."""
-        import numpy as np
+
 
         with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
             decoded = list(pool.map(self._decode_one, filenames))

@@ -103,10 +103,3 @@ def beam_search(
     best = hist[:, 0, :]                                               # [B, Lh]
     sos = jnp.full((B, 1), SOS_ID, dtype=jnp.int32)
     return jnp.concatenate([sos, best], axis=1)                        # [B, Lh + 1]
-
-
-def expand_attention_keys(keys: jnp.ndarray) -> jnp.ndarray:
-    """Identity helper kept for symmetry — beam attention broadcasts the
-    per-sequence keys across the beam axis instead of materializing
-    ``[B*W, T, A]`` copies (HBM-bandwidth saver)."""
-    return keys

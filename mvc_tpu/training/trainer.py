@@ -69,7 +69,6 @@ class Trainer:
         self.eval_freq = eval_freq
         self.mesh = mesh
         self.summary_writer = _make_writer(log_dir)
-        self._train_step_cache: Dict = {}
         self._predict_cache: Dict = {}
 
     # ------------------------------------------------------------ jit builds
@@ -108,13 +107,10 @@ class Trainer:
             _, metrics = compute_loss(params, batch, rng, 0.0)
             return metrics
 
-        if self.mesh is not None:
-            bs = mesh_lib.batch_sharding(self.mesh)
-            train_step = jax.jit(train_step, donate_argnums=(0, 1))
-            eval_loss_step = jax.jit(eval_loss_step)
-        else:
-            train_step = jax.jit(train_step, donate_argnums=(0, 1))
-            eval_loss_step = jax.jit(eval_loss_step)
+        # Sharding is carried by the input placements (params via
+        # param_shardings, batches via shard_batch); GSPMD propagates it.
+        train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        eval_loss_step = jax.jit(eval_loss_step)
         return train_step, eval_loss_step
 
     def _get_predict_fn(self, model, max_caption_len: int):
