@@ -110,6 +110,12 @@ class TrainerConfig:
     # --- TPU additions ---
     seed: int = 0
     compute_dtype: str = "float32"     # "float32" | "bfloat16"
+    # Cast features to this dtype on the host before the H2D copy — halves
+    # transfer bytes (the dominant cost off-host); None keeps float32.
+    transfer_dtype: Optional[str] = "bfloat16"
+    # Device-put the next batch on a background thread while the current step
+    # runs (overlaps H2D with compute).
+    device_prefetch: bool = True
     # Static-shape bucketing ladders (frames T, caption length L).  A batch is
     # padded up to the smallest bucket that fits; caps bound XLA recompiles.
     frame_buckets: Sequence[int] = (8, 16, 32, 48, 64)

@@ -70,6 +70,8 @@ class Trainer:
         self.mesh = mesh
         self.summary_writer = _make_writer(log_dir)
         self._predict_cache: Dict = {}
+        self._transfer_dtype = None
+        self._device_prefetch = False
 
     # ------------------------------------------------------------ jit builds
     def _build_train_step(self, model, cfg: TrainerConfig):
@@ -124,10 +126,18 @@ class Trainer:
         return self._predict_cache[key]
 
     def _put_batch(self, batch):
-        """Host batch -> device arrays (sharded over dp when a mesh is set)."""
+        """Host batch -> device arrays (sharded over dp when a mesh is set).
+        Feature tensors are optionally downcast on the host first — H2D
+        bandwidth is the train-loop bottleneck off-host (BENCH_NOTES.md)."""
         arrays = {
             k: v for k, v in batch.items() if isinstance(v, np.ndarray)
         }
+        n_real = int(batch["sample_mask"].sum()) if "sample_mask" in batch else None
+        if self._transfer_dtype is not None:
+            arrays = {
+                k: (v.astype(self._transfer_dtype) if v.dtype == np.float32 else v)
+                for k, v in arrays.items()
+            }
         if self.mesh is not None:
             dp = self.mesh.shape["dp"]
             arrays = mesh_lib.pad_batch_to_multiple(arrays, dp)
@@ -136,7 +146,43 @@ class Trainer:
             arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
         out = dict(batch)
         out.update(arrays)
+        if n_real is not None:
+            out["_n_real"] = n_real
         return out
+
+    def _device_batches(self, dataloader):
+        """Iterate device-resident batches, staging the next H2D copy on a
+        background thread while the current step computes."""
+        if not self._device_prefetch:
+            for batch in dataloader:
+                yield self._put_batch(batch)
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        sentinel = object()
+        err = []
+
+        def stage():
+            try:
+                for batch in dataloader:
+                    q.put(self._put_batch(batch))
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=stage, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
 
     # ------------------------------------------------------------ chkpt
     def _load(self, params):
@@ -172,6 +218,9 @@ class Trainer:
     # ------------------------------------------------------------ fit
     def fit(self, model, params, train_loader, val_loader, test_loader, train_config: TrainerConfig):
         cfg = train_config
+        if getattr(cfg, "transfer_dtype", None):
+            self._transfer_dtype = jnp.dtype(cfg.transfer_dtype)
+        self._device_prefetch = bool(getattr(cfg, "device_prefetch", False))
         self._optimizer = opt_lib.make_optimizer(cfg)
         self.lr_scheduler = opt_lib.PlateauScheduler(
             lr=cfg.lr, factor=cfg.lr_decay_gamma, patience=cfg.lr_decay_patience,
@@ -292,9 +341,8 @@ class Trainer:
             jax.profiler.start_trace(profile_dir)
 
         t0 = time.time()
-        for i, batch in enumerate(dataloader):
-            n_samples += int(batch["sample_mask"].sum())
-            batch = self._put_batch(batch)
+        for i, batch in enumerate(self._device_batches(dataloader)):
+            n_samples += batch.pop("_n_real", batch["audio"].shape[0])
             step_rng = jax.random.fold_in(rng, i)
             params, opt_state, metrics = self._train_step(params, opt_state, batch, step_rng)
 
@@ -332,8 +380,8 @@ class Trainer:
         sums = {k: 0.0 for k in LOSS_KEYS}
         n_batches = 0
         rng = jax.random.PRNGKey(0)
-        for i, batch in enumerate(dataloader):
-            batch = self._put_batch(batch)
+        for i, batch in enumerate(self._device_batches(dataloader)):
+            batch.pop("_n_real", None)
             metrics = self._eval_loss_step(params, batch, rng)
             self._log_metrics(phase, epoch * len(dataloader) + i, metrics, sums)
             n_batches += 1
