@@ -21,7 +21,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from mvc_tpu.ops.logmel import EXAMPLE_FRAMES, NUM_MEL_BINS, SAMPLE_RATE, log_mel_examples, num_examples_for
+from mvc_tpu.ops.logmel import (
+    log_mel_examples_batch,
+    num_examples_for,
+    samples_for,
+)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -47,9 +51,13 @@ class FeatureExtractor:
         frame_buckets: Sequence[int] = (64, 128, 256),
         audio_buckets: Sequence[int] = (8, 16, 32, 64),
         scale_to_unit: bool = False,
-        decode_workers: int = 8,
+        decode_workers: Optional[int] = None,
         seed: int = 0,
     ):
+        # cv2 decode scales with real cores; oversubscribing one core is a
+        # slowdown (this container has a single CPU)
+        if decode_workers is None:
+            decode_workers = min(8, os.cpu_count() or 1)
         import jax
 
         from mvc_tpu.models import inception_v3 as iv3
@@ -128,8 +136,15 @@ class FeatureExtractor:
         Returns [(video_features, audio_features)] in input order."""
 
 
-        with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
-            decoded = list(pool.map(self._decode_one, filenames))
+        if self.decode_workers > 1:
+            with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
+                decoded = list(pool.map(self._decode_one, filenames))
+        else:
+            decoded = [self._decode_one(f) for f in filenames]
+        return self._encode_decoded(decoded)
+
+    def _encode_decoded(self, decoded) -> List[Tuple[np.ndarray, np.ndarray]]:
+        import jax.numpy as jnp
 
         # ---- visual: flatten frames across clips
         frame_counts = [d[0].shape[0] for d in decoded]
@@ -141,16 +156,18 @@ class FeatureExtractor:
             video_out.append(feats[ofs : ofs + c])
             ofs += c
 
-        # ---- audio: flatten 0.96 s examples across clips
-        import jax.numpy as jnp
-
-        ex_counts = []
-        example_stacks = []
-        for _, wav in decoded:
-            n_ex = max(num_examples_for(wav.shape[0]), 1)   # >=1: silence-fill parity
-            ex_counts.append(n_ex)
-            example_stacks.append(np.asarray(log_mel_examples(jnp.asarray(wav), n_ex)))
-        all_examples = np.concatenate(example_stacks, axis=0)
+        # ---- audio: ONE batched log-mel dispatch over padded waveforms
+        ex_counts = [max(num_examples_for(w.shape[0]), 1) for _, w in decoded]
+        max_ex = max(ex_counts)
+        wav_len = samples_for(max_ex)
+        wavs = np.zeros((len(decoded), wav_len), np.float32)
+        for i, (_, w) in enumerate(decoded):
+            n = min(w.shape[0], wav_len)
+            wavs[i, :n] = w[:n]
+        examples = np.asarray(log_mel_examples_batch(jnp.asarray(wavs), max_ex))
+        all_examples = np.concatenate(
+            [examples[i, :c] for i, c in enumerate(ex_counts)], axis=0
+        )
         embs = self._encode_audio_stack(all_examples)
         audio_out = []
         ofs = 0
@@ -188,28 +205,41 @@ class FeatureExtractor:
 
         failures = []
         done = 0
-        for i in range(0, len(todo), batch_size):
-            chunk = todo[i : i + batch_size]
-            try:
-                results = self.extract_batch([c[0] for c in chunk])
-            except Exception as e:
-                # fall back to per-clip so one broken file doesn't sink a batch
-                results = []
-                for path, _ in chunk:
-                    try:
-                        results.append(self.extract_batch([path])[0])
-                    except Exception as e2:
-                        results.append(None)
-                        failures.append((path, str(e2)))
-            for (path, name), result in zip(chunk, results):
-                if result is None:
+        chunks = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
+
+        def decode_chunk(chunk):
+            """Per-clip decode with failure isolation."""
+            out = []
+            for path, name in chunk:
+                try:
+                    out.append((name, self._decode_one(path)))
+                except Exception as e:
+                    failures.append((path, str(e)))
+            return out
+
+        # Pipeline: decode chunk i+1 on a host thread while chunk i encodes on
+        # the device.
+        stager = ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = stager.submit(decode_chunk, chunks[0]) if chunks else None
+            for i in range(len(chunks)):
+                decoded_named = fut.result()
+                fut = (
+                    stager.submit(decode_chunk, chunks[i + 1])
+                    if i + 1 < len(chunks) else None
+                )
+                if not decoded_named:
                     continue
-                video_f, audio_f = result
-                np.save(os.path.join(video_feat_dir, name), video_f)
-                np.save(os.path.join(audio_feat_dir, name), audio_f)
-                done += 1
-            if verbose:
-                print(f"extracted {done}/{len(todo)} (skipped {skipped}, failures {len(failures)})")
+                names = [n for n, _ in decoded_named]
+                results = self._encode_decoded([d for _, d in decoded_named])
+                for name, (video_f, audio_f) in zip(names, results):
+                    np.save(os.path.join(video_feat_dir, name), video_f)
+                    np.save(os.path.join(audio_feat_dir, name), audio_f)
+                    done += 1
+                if verbose:
+                    print(f"extracted {done}/{len(todo)} (skipped {skipped}, failures {len(failures)})")
+        finally:
+            stager.shutdown(wait=False)
         if failures and verbose:
             print("failures:", failures)
         return {"done": done, "skipped": skipped, "failures": len(failures)}

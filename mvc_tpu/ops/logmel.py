@@ -96,6 +96,18 @@ def log_mel_examples(waveform: jnp.ndarray, num_examples: int) -> jnp.ndarray:
     return frames.reshape(num_examples, EXAMPLE_FRAMES, NUM_MEL_BINS)
 
 
+@partial(jax.jit, static_argnames=("num_examples",))
+def log_mel_examples_batch(waveforms: jnp.ndarray, num_examples: int) -> jnp.ndarray:
+    """[N, S] padded waveforms -> [N, num_examples, 96, 64] in ONE dispatch
+    (per-clip dispatch round trips dominate off-host otherwise)."""
+    return jax.vmap(lambda w: log_mel_examples(w, num_examples))(waveforms)
+
+
+def samples_for(num_examples: int) -> int:
+    """Waveform samples consumed by ``num_examples`` whole examples."""
+    return (num_examples * EXAMPLE_FRAMES - 1) * STFT_HOP + STFT_WINDOW
+
+
 def num_examples_for(n_samples: int) -> int:
     """How many whole 0.96 s examples a waveform yields (VGGish framing)."""
     window = EXAMPLE_FRAMES * STFT_HOP - STFT_HOP + STFT_WINDOW
