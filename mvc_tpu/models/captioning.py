@@ -141,6 +141,12 @@ class AVCaptioning:
             decoder_size=self.decoder_config.rnn_hidden_size,
             hidden_size=self.decoder_config.in_feature_size,
         )
+        # Model banner (reference src/models/captioning.py:94-106).
+        cfg = self.decoder_config
+        print("Initializing Model...")
+        print("Decoder      :", cfg.rnn_type, "In:", cfg.in_feature_size,
+              "Out:", cfg.output_size, "Hidden:", cfg.rnn_hidden_size)
+        print("Reconstuctor :", reconstructor_type)
 
     def init(self, key):
         k_dec, k_rec = jax.random.split(key)
@@ -262,6 +268,14 @@ class AVCaptioningDual:
             decoder_size=self.a_config.rnn_hidden_size,
             hidden_size=self.a_config.in_feature_size,
         )
+        # Model banner (reference src/models/captioning.py:209-221).
+        v, a = self.v_config, self.a_config
+        print("Initializing Model...")
+        print("Decoder (V,A)     :", (v.rnn_type, a.rnn_type),
+              "In:", (v.in_feature_size, a.in_feature_size),
+              "Out:", (v.output_size, a.output_size),
+              "Hidden:", (v.rnn_hidden_size, a.rnn_hidden_size))
+        print("Reconstuctor (V,A):", (reconstructor_type, reconstructor_type))
 
     def init(self, key):
         kv, ka, kvr, kar = jax.random.split(key, 4)
