@@ -120,13 +120,3 @@ def lstm_cell_pallas(
         ),
     )(x, h, wx_g, wh_g, b_g, c)
     return h_new, (h_new, c_new)
-
-
-def use_pallas() -> bool:
-    """Pallas dispatch is opt-in via MVC_PALLAS=1 and requires a TPU backend."""
-    if os.environ.get("MVC_PALLAS", "0") != "1":
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
