@@ -127,6 +127,7 @@ class TrainerConfig:
     mask_padded_features: bool = True
 
     eval_max_caption_len: int = 30     # reference src/train.py:324
+    eval_mode: str = "direct"          # "direct" (reference fit-time) | "beam"
     eval_beam_width: int = 5
     eval_beam_alpha: float = 0.0
 

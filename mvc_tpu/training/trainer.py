@@ -115,12 +115,14 @@ class Trainer:
         eval_loss_step = jax.jit(eval_loss_step)
         return train_step, eval_loss_step
 
-    def _get_predict_fn(self, model, max_caption_len: int):
-        key = (id(model), max_caption_len)
+    def _get_predict_fn(self, model, max_caption_len: int, mode: str = "direct",
+                        beam_width: int = 5, beam_alpha: float = 0.0):
+        key = (id(model), max_caption_len, mode, beam_width, beam_alpha)
         if key not in self._predict_cache:
             self._predict_cache[key] = jax.jit(
                 lambda p, a, v, m: model.predict_tokens(
-                    p, a, v, max_caption_len=max_caption_len, mode="direct", feat_mask=m
+                    p, a, v, max_caption_len=max_caption_len, mode=mode,
+                    beam_width=beam_width, beam_alpha=beam_alpha, feat_mask=m,
                 )
             )
         return self._predict_cache[key]
@@ -288,13 +290,17 @@ class Trainer:
             self.history["val_loss"].append(val_loss)
 
             if epoch % self.eval_freq == 0 or epoch == cfg.epochs:
-                train_score, _, _ = self.eval(
-                    model, params, train_vidcap, "train", epoch,
+                eval_kw = dict(
                     max_caption_len=cfg.eval_max_caption_len,
+                    mode=getattr(cfg, "eval_mode", "direct"),
+                    beam_width=cfg.eval_beam_width,
+                    beam_alpha=cfg.eval_beam_alpha,
+                )
+                train_score, _, _ = self.eval(
+                    model, params, train_vidcap, "train", epoch, **eval_kw
                 )
                 val_score, _, _ = self.eval(
-                    model, params, val_vidcap, "val", epoch,
-                    max_caption_len=cfg.eval_max_caption_len,
+                    model, params, val_vidcap, "val", epoch, **eval_kw
                 )
                 self.history["train_score"].append(train_score)
                 self.history["val_score"].append(val_score)
@@ -394,13 +400,16 @@ class Trainer:
         return avg
 
     def eval(self, model, params, videocaptions_loader, phase, epoch,
-             mode="direct", get_scores=True, max_caption_len=30):
-        """Caption-generation eval (reference src/train.py:316-348)."""
+             mode="direct", get_scores=True, max_caption_len=30,
+             beam_width=5, beam_alpha=0.0):
+        """Caption-generation eval (reference src/train.py:316-348); ``mode``
+        may be "direct" (greedy, the reference's fit-time setting) or "beam"
+        (batched jitted beam)."""
         vocab = getattr(videocaptions_loader.dataset, "vocab", None)
         if vocab is None:
             vocab = self._vocab
         vid_gt, vid_gen = {}, {}
-        predict = self._get_predict_fn(model, max_caption_len)
+        predict = self._get_predict_fn(model, max_caption_len, mode, beam_width, beam_alpha)
         t0 = time.time()
         for batch in videocaptions_loader:
             b = self._put_batch(batch)
