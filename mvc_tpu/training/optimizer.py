@@ -14,10 +14,52 @@ trigger a recompile.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
+import chex
+import jax
+import jax.numpy as jnp
 import optax
 
 from mvc_tpu.config import TrainerConfig
+
+
+class TorchAmsgradState(NamedTuple):
+    count: chex.Array
+    mu: optax.Updates
+    nu: optax.Updates
+    nu_max: optax.Updates
+
+
+def scale_by_torch_amsgrad(b1=0.9, b2=0.999, eps=1e-8) -> optax.GradientTransformation:
+    """torch.optim.Adam(amsgrad=True) semantics exactly: the max accumulator
+    tracks the RAW second moment and the bias correction divides the
+    denominator (optax.amsgrad maxes the bias-corrected moment instead, which
+    diverges early in training — tests/test_optimizer_parity.py)."""
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return TorchAmsgradState(
+            count=jnp.zeros([], jnp.int32), mu=zeros,
+            nu=jax.tree.map(jnp.zeros_like, params),
+            nu_max=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        new_updates = jax.tree.map(
+            lambda m, vmax: (m / bc1) / (jnp.sqrt(vmax) / jnp.sqrt(bc2) + eps),
+            mu, nu_max,
+        )
+        return new_updates, TorchAmsgradState(count, mu, nu, nu_max)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -29,8 +71,11 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
             steps.append(optax.clip(cfg.gradient_clip_value))
         if cfg.weight_decay:
             steps.append(optax.add_decayed_weights(cfg.weight_decay))
-        core = optax.amsgrad(learning_rate) if cfg.amsgrad else optax.adam(learning_rate)
-        steps.append(core)
+        if cfg.amsgrad:
+            steps.append(scale_by_torch_amsgrad())
+            steps.append(optax.scale_by_learning_rate(learning_rate))
+        else:
+            steps.append(optax.adam(learning_rate))
         return optax.chain(*steps)
 
     return optax.inject_hyperparams(build)(learning_rate=cfg.lr)
