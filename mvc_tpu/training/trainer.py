@@ -229,19 +229,16 @@ class Trainer:
             return params, None
         return params, ckpt
 
-    def _save(self, epoch, params, opt_state, extra=None):
-        payload = {
+    def _save(self, epoch, params, opt_state):
+        save_checkpoint(self.checkpoint_name, {
             "epoch": epoch,
             "params": params,
-            "opt_state": jax.tree.map(lambda x: x, opt_state),
+            "opt_state": opt_state,
             "scheduler": self.lr_scheduler.state_dict(),
             "history": self.history,
             "best_loss": self.best_loss,
             "best_CIDEr": self.best_CIDEr,
-        }
-        if extra:
-            payload.update(extra)
-        save_checkpoint(self.checkpoint_name, payload)
+        })
 
     # ------------------------------------------------------------ fit
     def fit(self, model, params, train_loader, val_loader, test_loader, train_config: TrainerConfig):
