@@ -69,7 +69,15 @@ class DataLoader:
         caption_buckets: Sequence[int] = (12, 16, 20, 26, 34),
         pad_partial_batches: bool = True,
         prefetch: int = 2,
+        bucket_by_length: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``bucket_by_length`` groups same-epoch samples of similar frame
+        count into batches (less padded compute under multi-bucket ladders;
+        irrelevant with a single bucket).  ``process_index/process_count``
+        shard the dataset across hosts for jax.distributed multi-process
+        training — each process reads a disjoint strided slice."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -78,19 +86,55 @@ class DataLoader:
         self.caption_buckets = tuple(caption_buckets)
         self.pad_partial_batches = pad_partial_batches
         self.prefetch = prefetch
+        self.bucket_by_length = bucket_by_length
+        assert 0 <= process_index < process_count
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        self._lengths = None
+
+    def _my_indices(self) -> np.ndarray:
+        """This process's disjoint strided slice of the dataset."""
+        return np.arange(self.process_index, len(self.dataset), self.process_count)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self._my_indices())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _frame_lengths(self) -> np.ndarray:
+        """Per-row frame counts, read once from the .npy headers (mmap)."""
+        if self._lengths is None:
+            import os
+
+            meta = self.dataset.metadata
+            root = self.dataset.root_dir
+            per_video = {}
+            for vid in meta["video_id"].unique():
+                path = os.path.join(root, "features", "video", f"{vid}.npy")
+                try:
+                    per_video[vid] = int(np.load(path, mmap_mode="r").shape[0])
+                except Exception:
+                    per_video[vid] = 0
+            self._lengths = meta["video_id"].map(per_video).to_numpy()
+        return self._lengths
+
     def _epoch_order(self) -> np.ndarray:
-        order = np.arange(len(self.dataset))
+        order = self._my_indices()
         if self.shuffle:
             self._rng.shuffle(order)
+        if self.bucket_by_length:
+            # window-local sort by video grouping keeps shuffle randomness
+            # while clustering equal-length items
+            window = self.batch_size * 16
+            lengths = self._frame_lengths()
+            chunks = []
+            for s in range(0, len(order), window):
+                w = order[s : s + window]
+                chunks.append(w[np.argsort(lengths[w], kind="stable")])
+            order = np.concatenate(chunks) if chunks else order
         return order
 
     def _iter_batches(self) -> Iterator[Dict[str, np.ndarray]]:
