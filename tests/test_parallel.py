@@ -88,3 +88,12 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_distributed_helpers_single_process():
+    from mvc_tpu.parallel import data_shard, initialize, make_global_mesh
+
+    assert initialize() == (0, 1)          # no-op without coordinator config
+    assert data_shard() == (0, 1)
+    mesh = make_global_mesh(dp=-1, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
