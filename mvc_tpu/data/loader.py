@@ -206,6 +206,9 @@ def get_loader(
     caption_buckets: Sequence[int] = (12, 16, 20, 26, 34),
     seed: int = 0,
     verbose: bool = True,
+    bucket_by_length: bool = False,
+    process_index: int = 0,
+    process_count: int = 1,
 ):
     """Public data entry point (reference src/get_loader.py:416-448).
     Returns ``(loader, dataset)``."""
@@ -233,5 +236,8 @@ def get_loader(
         seed=seed,
         frame_buckets=frame_buckets,
         caption_buckets=caption_buckets,
+        bucket_by_length=bucket_by_length,
+        process_index=process_index,
+        process_count=process_count,
     )
     return loader, ds
