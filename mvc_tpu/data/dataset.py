@@ -170,12 +170,15 @@ def video_dataset_to_video_captions_loader(
 
 
 def _bucket(value: int, buckets: Sequence[int]) -> int:
-    """Smallest bucket >= value; values above the ladder clamp to the top
-    bucket (features/captions are then truncated)."""
+    """Smallest bucket >= value; above the ladder the bucket auto-extends to
+    the next multiple of the top rung, so no sample is ever truncated (the
+    reference pads to the true batch max, src/get_loader.py:404-413; the
+    multiple-of-top rule keeps the set of compiled shapes bounded)."""
     for b in buckets:
         if value <= b:
             return b
-    return buckets[-1]
+    top = buckets[-1]
+    return ((value + top - 1) // top) * top
 
 
 def collate_av_batch(

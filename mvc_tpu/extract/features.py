@@ -86,10 +86,10 @@ class FeatureExtractor:
         self._encode_audio = jax.jit(encode_audio)
 
     # ------------------------------------------------------------ decode
-    def _decode_one(self, filename: str):
+    def _decode_one(self, filename: str, fps: Optional[float] = None):
         from mvc_tpu.extract.video_io import load_audio, load_frames
 
-        frames, duration = load_frames(filename, fps=self.fps)
+        frames, duration = load_frames(filename, fps=self.fps if fps is None else fps)
         wav = load_audio(filename, duration_hint=duration)
         return frames, wav
 
@@ -124,23 +124,24 @@ class FeatureExtractor:
 
     # ------------------------------------------------------------ public
     def extract(self, filename: str, fps: Optional[float] = None, to_numpy: bool = True):
-        """Single-clip extraction (reference API,
-        src/extract_features.py:25-30).  Returns (video_f [T,2048],
-        audio_f [N,128])."""
-        del fps  # fixed at construction for jit reuse; reference default is 1
-        result = self.extract_batch([filename])[0]
+        """Single-clip extraction (reference API, src/extract_features.py:25-30;
+        the per-call ``fps`` overrides the constructor default exactly as the
+        reference's does).  Returns (video_f [T,2048], audio_f [N,128])."""
+        result = self.extract_batch([filename], fps=fps)[0]
         return result
 
-    def extract_batch(self, filenames: Sequence[str]) -> List[Tuple[np.ndarray, np.ndarray]]:
+    def extract_batch(
+        self, filenames: Sequence[str], fps: Optional[float] = None
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
         """Extract many clips with one (or few) device program launches.
-        Returns [(video_features, audio_features)] in input order."""
-
-
+        Returns [(video_features, audio_features)] in input order.  fps only
+        changes host-side frame sampling; device programs are bucketed by
+        frame count, so no recompile is triggered."""
         if self.decode_workers > 1:
             with ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
-                decoded = list(pool.map(self._decode_one, filenames))
+                decoded = list(pool.map(lambda f: self._decode_one(f, fps), filenames))
         else:
-            decoded = [self._decode_one(f) for f in filenames]
+            decoded = [self._decode_one(f, fps) for f in filenames]
         return self._encode_decoded(decoded)
 
     def _encode_decoded(self, decoded) -> List[Tuple[np.ndarray, np.ndarray]]:

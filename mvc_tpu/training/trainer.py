@@ -455,7 +455,10 @@ class Trainer:
         scores = None
         if get_scores:
             scores = NLPScore(vid_gt, vid_gen)
-            for name in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr"):
+            # The reference logs exactly Bleu_1..4/ROUGE_L/CIDEr
+            # (src/train.py:340-345); METEOR is computed by NLPScore either
+            # way, so we additionally expose it as a scalar.
+            for name in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L", "CIDEr", "METEOR"):
                 self.summary_writer.add_scalar(
                     f"{phase}/score/{mode}/{name}", scores[name], epoch
                 )

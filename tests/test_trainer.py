@@ -117,3 +117,39 @@ def test_plateau_scheduler_semantics():
     s2 = PlateauScheduler(lr=9.0, mode="max")
     s2.load_state_dict(state)
     assert s2.lr == s.lr and s2.best == s.best
+
+
+class _RecordingWriter:
+    def __init__(self):
+        self.tags = []
+
+    def add_scalar(self, tag, value, step):
+        self.tags.append(tag)
+
+    def close(self):
+        pass
+
+
+def test_eval_logs_all_nlp_scalars(synthetic_msvd):
+    """Eval must expose every NLPScore key (incl. METEOR) as a TB scalar
+    under the reference tag scheme {phase}/score/{mode}/{name}."""
+    from mvc_tpu.data.dataset import video_dataset_to_video_captions_loader
+
+    train_loader, val_loader = _loaders(synthetic_msvd)
+    vocab = train_loader.dataset.vocab
+    model = _model(vocab)
+    params = model.init(jax.random.PRNGKey(0))
+    vidcap = video_dataset_to_video_captions_loader(
+        val_loader.dataset, batch_size=6, frame_buckets=(8,)
+    )
+
+    trainer = Trainer(checkpoint_name="unused", log_dir=None, eval_freq=1)
+    trainer.set_vocab(vocab)
+    rec = _RecordingWriter()
+    trainer.summary_writer = rec
+    scores, vid_gt, vid_gen = trainer.eval(
+        model, params, vidcap, "val", epoch=1, max_caption_len=12
+    )
+    for name in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
+        assert f"val/score/direct/{name}" in rec.tags
+        assert np.isfinite(scores[name])
