@@ -106,6 +106,9 @@ class TrainerConfig:
     reg_lambda: float = 0.001
     audio_recon_lambda: float = 10.0
     visual_recon_lambda: float = 10.0
+    # Entropy-regularizer bug-compat: the reference softmaxes over the batch
+    # axis (src/losses.py:13, PARITY.md #1).  False = sane vocab axis.
+    compat_batch_axis_entropy: bool = False
 
     # --- TPU additions ---
     seed: int = 0

@@ -86,6 +86,7 @@ class Trainer:
             audio_recon_lambda=cfg.audio_recon_lambda,
             visual_recon_lambda=cfg.visual_recon_lambda,
             rec_type=model.reconstructor_type,
+            compat_batch_axis_entropy=getattr(cfg, "compat_batch_axis_entropy", False),
         )
         mask_feats = cfg.mask_padded_features
 
