@@ -84,7 +84,13 @@ def param_shardings(mesh: Mesh, params) -> object:
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Device-put a host batch with the batch axis over dp.  Time-first
-    caption arrays ([L, B]) shard their second axis."""
+    caption arrays ([L, B]) shard their second axis.
+
+    Multi-process (jax.distributed): each process passes its LOCAL shard of
+    the batch (rows for its own devices, e.g. from
+    ``DataLoader(process_index, process_count)``) and the global array is
+    assembled across processes."""
+    multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if not hasattr(v, "ndim"):
@@ -94,7 +100,11 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
             spec = P(None, "dp")
         else:                          # [B, ...]
             spec = P("dp")
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        else:
+            out[k] = jax.device_put(v, sharding)
     return out
 
 

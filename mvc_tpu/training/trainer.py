@@ -161,8 +161,12 @@ class Trainer:
                 for k, v in arrays.items()
             }
         if self.mesh is not None:
+            # Each process pads its LOCAL batch to its share of the dp axis;
+            # shard_batch assembles the global array across processes.
             dp = self.mesh.shape["dp"]
-            arrays = mesh_lib.pad_batch_to_multiple(arrays, dp)
+            pcount = jax.process_count()
+            assert dp % pcount == 0, f"dp={dp} not divisible by {pcount} processes"
+            arrays = mesh_lib.pad_batch_to_multiple(arrays, dp // pcount)
             arrays = mesh_lib.shard_batch(self.mesh, arrays)
         else:
             arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
