@@ -87,14 +87,74 @@ void run_stage(const std::vector<std::string>& hyp_keys,
   }
 }
 
-// meteor_stats(hyp, ref, hyp_stems, ref_stems, exact_weight, stem_weight)
-//   -> (weighted, matches, chunks)
+// Synonym stage: per-word sets of synonym-group ids; a pair matches when the
+// sets intersect (mirrors meteor-1.5's WordNet synset-overlap test).
+std::vector<std::vector<int64_t>> list_to_id_sets(PyObject* list) {
+  std::vector<std::vector<int64_t>> out;
+  Py_ssize_t n = PyList_Size(list);
+  out.reserve(n);
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject* inner = PyList_GetItem(list, i);  // borrowed
+    std::vector<int64_t> ids;
+    Py_ssize_t m = PySequence_Size(inner);
+    ids.reserve(m);
+    for (Py_ssize_t j = 0; j < m; ++j) {
+      PyObject* item = PySequence_GetItem(inner, j);  // new ref
+      ids.push_back(PyLong_AsLongLong(item));
+      Py_DECREF(item);
+    }
+    std::sort(ids.begin(), ids.end());
+    out.push_back(std::move(ids));
+  }
+  return out;
+}
+
+bool sorted_intersects(const std::vector<int64_t>& a,
+                       const std::vector<int64_t>& b) {
+  size_t i = 0, j = 0;
+  while (i < a.size() && j < b.size()) {
+    if (a[i] == b[j]) return true;
+    if (a[i] < b[j]) ++i;
+    else ++j;
+  }
+  return false;
+}
+
+void run_synonym_stage(const std::vector<std::vector<int64_t>>& hyp_ids,
+                       const std::vector<std::vector<int64_t>>& ref_ids,
+                       std::vector<char>& hyp_used, std::vector<char>& ref_used,
+                       std::vector<Match>& matches) {
+  for (int i = 0; i < static_cast<int>(hyp_ids.size()); ++i) {
+    if (hyp_used[i] || hyp_ids[i].empty()) continue;
+    int best_j = -1, best_d = INT32_MAX;
+    for (int j = 0; j < static_cast<int>(ref_ids.size()); ++j) {
+      if (ref_used[j] || ref_ids[j].empty()) continue;
+      if (!sorted_intersects(hyp_ids[i], ref_ids[j])) continue;
+      int d = std::abs(i - j);
+      if (d < best_d) {
+        best_d = d;
+        best_j = j;
+      }
+    }
+    if (best_j >= 0) {
+      hyp_used[i] = 1;
+      ref_used[best_j] = 1;
+      matches.push_back({i, best_j});
+    }
+  }
+}
+
+// meteor_stats(hyp, ref, hyp_stems, ref_stems[, exact_weight, stem_weight,
+//              hyp_syn, ref_syn, syn_weight]) -> (weighted, matches, chunks)
+// hyp_syn/ref_syn: per-word lists of synonym-group ids (or None) enabling the
+// stage-3 synonym matcher (meteor-1.5 weight 0.8).
 PyObject* meteor_stats(PyObject*, PyObject* args) {
   PyObject *hyp_o, *ref_o, *hyp_s_o, *ref_s_o;
-  double w_exact = 1.0, w_stem = 0.6;
-  if (!PyArg_ParseTuple(args, "O!O!O!O!|dd", &PyList_Type, &hyp_o, &PyList_Type,
+  PyObject *hyp_syn_o = Py_None, *ref_syn_o = Py_None;
+  double w_exact = 1.0, w_stem = 0.6, w_syn = 0.8;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!|ddOOd", &PyList_Type, &hyp_o, &PyList_Type,
                         &ref_o, &PyList_Type, &hyp_s_o, &PyList_Type, &ref_s_o,
-                        &w_exact, &w_stem)) {
+                        &w_exact, &w_stem, &hyp_syn_o, &ref_syn_o, &w_syn)) {
     return nullptr;
   }
   auto hyp = list_to_strings(hyp_o);
@@ -106,14 +166,23 @@ PyObject* meteor_stats(PyObject*, PyObject* args) {
   std::vector<Match> matches;
   run_stage(hyp, ref, hyp_used, ref_used, matches);
   run_stage(hyp_stems, ref_stems, hyp_used, ref_used, matches);
+  if (hyp_syn_o != Py_None && ref_syn_o != Py_None) {
+    run_synonym_stage(list_to_id_sets(hyp_syn_o), list_to_id_sets(ref_syn_o),
+                      hyp_used, ref_used, matches);
+    if (PyErr_Occurred()) return nullptr;
+  }
   std::sort(matches.begin(), matches.end(),
             [](const Match& a, const Match& b) {
               return a.h < b.h || (a.h == b.h && a.r < b.r);
             });
 
+  // Stage weight inferred in stage order: exact, then stem; any surviving
+  // non-stem-equal pair can only have come from the synonym stage.
   double weighted = 0.0;
   for (const auto& m : matches) {
-    weighted += (hyp[m.h] == ref[m.r]) ? w_exact : w_stem;
+    if (hyp[m.h] == ref[m.r]) weighted += w_exact;
+    else if (hyp_stems[m.h] == ref_stems[m.r]) weighted += w_stem;
+    else weighted += w_syn;
   }
   int chunks = matches.empty() ? 0 : 1;
   for (size_t k = 1; k < matches.size(); ++k) {
@@ -287,7 +356,8 @@ PyObject* ptb_tokenize(PyObject*, PyObject* args) {
 
 PyMethodDef kMethods[] = {
     {"meteor_stats", meteor_stats, METH_VARARGS,
-     "METEOR alignment stats: (hyp, ref, hyp_stems, ref_stems[, w_exact, w_stem]) -> (weighted, matches, chunks)"},
+     "METEOR alignment stats: (hyp, ref, hyp_stems, ref_stems[, w_exact, "
+     "w_stem, hyp_syn, ref_syn, w_syn]) -> (weighted, matches, chunks)"},
     {"lcs", lcs, METH_VARARGS, "LCS length of two token lists"},
     {"ptb_tokenize", ptb_tokenize, METH_VARARGS,
      "PTB tokenize + lowercase + COCO punctuation strip"},

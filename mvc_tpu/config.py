@@ -129,6 +129,11 @@ class TrainerConfig:
     # independent of batch composition.  Set False for bug-compat (PARITY.md).
     mask_padded_features: bool = True
 
+    # Optional METEOR synonym table (one whitespace-separated synonym group
+    # per line) enabling the meteor-1.5 stage-3 matcher (weight 0.8).  The
+    # reference's WordNet/paraphrase data is non-redistributable (PARITY.md).
+    meteor_synonyms: Optional[str] = None
+
     eval_max_caption_len: int = 30     # reference src/train.py:324
     eval_mode: str = "direct"          # "direct" (reference fit-time) | "beam"
     eval_beam_width: int = 5

@@ -19,12 +19,16 @@ from mvc_tpu.evalcap.rouge import Rouge
 from mvc_tpu.evalcap.tokenizer import PTBTokenizer
 
 
-def NLPScore(ref: Dict[str, List[str]], hypo: Dict[str, List[str]]) -> Dict[str, float]:
+def NLPScore(
+    ref: Dict[str, List[str]], hypo: Dict[str, List[str]], meteor_synonyms=None
+) -> Dict[str, float]:
     """ref: {video_id: [gt captions]}, hypo: {video_id: [generated caption]}.
-    Returns {Bleu_1..4, METEOR, ROUGE_L, CIDEr} (reference src/losses.py:140-160)."""
+    Returns {Bleu_1..4, METEOR, ROUGE_L, CIDEr} (reference src/losses.py:140-160).
+    ``meteor_synonyms``: optional synonym table (path / SynonymTable / groups)
+    enabling METEOR's stage-3 synonym matcher."""
     scorers = [
         (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
-        (Meteor(), "METEOR"),
+        (Meteor(synonyms=meteor_synonyms), "METEOR"),
         (Rouge(), "ROUGE_L"),
         (Cider(), "CIDEr"),
     ]
@@ -43,9 +47,11 @@ class COCOEvalCap:
     """COCO-style eval harness over (gts, res) caption dicts of raw strings
     (reference pycocoevalcap/eval.py)."""
 
-    def __init__(self, gts: Dict[str, List[str]], res: Dict[str, List[str]]):
+    def __init__(self, gts: Dict[str, List[str]], res: Dict[str, List[str]],
+                 meteor_synonyms=None):
         self._gts_raw = gts
         self._res_raw = res
+        self._meteor_synonyms = meteor_synonyms
         self.eval: Dict[str, float] = {}
         self.imgToEval: Dict[str, Dict[str, float]] = {}
 
@@ -60,7 +66,7 @@ class COCOEvalCap:
 
         scorers = [
             (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
-            (Meteor(), "METEOR"),
+            (Meteor(synonyms=self._meteor_synonyms), "METEOR"),
             (Rouge(), "ROUGE_L"),
             (Cider(), "CIDEr"),
         ]

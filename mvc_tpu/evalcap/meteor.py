@@ -5,13 +5,15 @@ The reference shells out to ``meteor-1.5.jar`` over a stdio line protocol
 git-LFS blob even in the reference repo, so its METEOR path cannot actually
 run.  This is a from-scratch implementation of the published algorithm:
 
-- matcher stages: exact match, then Porter-stem match (the synonym/paraphrase
-  stages need WordNet / paraphrase-en.gz data that is not redistributable
-  here; their weights slots remain, documented in PARITY.md)
+- matcher stages: exact match, Porter-stem match, and — when a user-supplied
+  synonym table is provided — a synonym stage (meteor-1.5 runs WordNet
+  synonymy as its stage 3; the WordNet / paraphrase-en.gz data is not
+  redistributable here, so the table is user-supplied: a text file with one
+  synonym group per line, words whitespace-separated)
 - alignment: per stage, position-monotone-preferring assignment resolved to
   minimize crossing matches, then chunk counting over the merged alignment
 - scoring (English task defaults): alpha=0.85, beta=0.2, gamma=0.6,
-  stage weights exact=1.0, stem=0.6
+  stage weights exact=1.0, stem=0.6, synonym=0.8 (meteor-1.5 ``-l en``)
       P = sum(w_i * m_i) / len(hyp),  R = sum(w_i * m_i) / len(ref)
       Fmean = P * R / (alpha * P + (1 - alpha) * R)
       Pen = gamma * (chunks / matches) ** beta
@@ -23,14 +25,15 @@ run.  This is a from-scratch implementation of the published algorithm:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+import os
+from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
 
 from mvc_tpu.evalcap.stemmer import porter_stem
 
 ALPHA = 0.85
 BETA = 0.2
 GAMMA = 0.6
-STAGE_WEIGHTS = (1.0, 0.6)  # exact, stem
+STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym (meteor-1.5 en)
 
 try:  # C++ aligner (csrc/native.cpp); Python fallback below is identical
     from mvc_tpu import _native as _native_mod
@@ -38,7 +41,51 @@ except ImportError:
     _native_mod = None
 
 
-def _align(hyp: Sequence[str], ref: Sequence[str]) -> List[Tuple[int, int]]:
+class SynonymTable:
+    """Word -> synonym-group-ids mapping.  Two words synonym-match when they
+    share a group (mirrors meteor-1.5's WordNet synset-overlap test).
+
+    Built from ``{word: groups}`` dicts, an iterable of word groups, or a
+    text file with one whitespace-separated synonym group per line."""
+
+    def __init__(self, groups):
+        self.word_groups: Dict[str, Set[int]] = {}
+        for gid, group in enumerate(groups):
+            for w in group:
+                self.word_groups.setdefault(w, set()).add(gid)
+
+    @classmethod
+    def load(cls, path: str) -> "SynonymTable":
+        groups = []
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                words = line.split()
+                if len(words) >= 2:
+                    groups.append([w.lower() for w in words])
+        return cls(groups)
+
+    def ids(self, word: str) -> Set[int]:
+        return self.word_groups.get(word, set())
+
+    def __len__(self) -> int:
+        return len(self.word_groups)
+
+
+def _resolve_synonyms(
+    synonyms: Union[None, str, SynonymTable, Sequence[Sequence[str]]]
+) -> Optional[SynonymTable]:
+    if synonyms is None:
+        return None
+    if isinstance(synonyms, SynonymTable):
+        return synonyms
+    if isinstance(synonyms, (str, os.PathLike)):
+        return SynonymTable.load(str(synonyms))
+    return SynonymTable(synonyms)
+
+
+def _align(
+    hyp: Sequence[str], ref: Sequence[str], syn: Optional[SynonymTable] = None
+) -> List[Tuple[int, int]]:
     """Greedy staged alignment.  Returns (hyp_idx, ref_idx) pairs, at most one
     match per word on each side.  Within a stage, each hyp word prefers the
     closest unmatched ref occurrence (minimizes crossings for the common
@@ -63,8 +110,26 @@ def _align(hyp: Sequence[str], ref: Sequence[str]) -> List[Tuple[int, int]]:
                 ref_used[best_j] = True
                 matches.append((i, best_j))
 
+    def run_synonym_stage(hyp_ids: List[Set[int]], ref_ids: List[Set[int]]):
+        for i, hi in enumerate(hyp_ids):
+            if hyp_used[i] or not hi:
+                continue
+            best_j, best_d = -1, None
+            for j, rj in enumerate(ref_ids):
+                if ref_used[j] or not (hi & rj):
+                    continue
+                d = abs(i - j)
+                if best_d is None or d < best_d:
+                    best_j, best_d = j, d
+            if best_j >= 0:
+                hyp_used[i] = True
+                ref_used[best_j] = True
+                matches.append((i, best_j))
+
     run_stage(list(hyp), list(ref))
     run_stage([porter_stem(w) for w in hyp], [porter_stem(w) for w in ref])
+    if syn is not None:
+        run_synonym_stage([syn.ids(w) for w in hyp], [syn.ids(w) for w in ref])
     return sorted(matches)
 
 
@@ -79,20 +144,32 @@ def _count_chunks(matches: List[Tuple[int, int]]) -> int:
     return chunks
 
 
-def _segment_stats(hyp: Sequence[str], ref: Sequence[str]):
+def _match_weight(hw: str, rw: str) -> float:
+    """Stage weight of a matched pair, inferred in stage order: exact (1.0),
+    stem (0.6), else it came from the synonym stage (0.8)."""
+    if hw == rw:
+        return STAGE_WEIGHTS[0]
+    if porter_stem(hw) == porter_stem(rw):
+        return STAGE_WEIGHTS[1]
+    return STAGE_WEIGHTS[2]
+
+
+def _segment_stats(
+    hyp: Sequence[str], ref: Sequence[str], syn: Optional[SynonymTable] = None
+):
     """(weighted_matches, total_matches, chunks, len_hyp, len_ref)."""
     if _native_mod is not None:
+        hyp_syn = [sorted(syn.ids(w)) for w in hyp] if syn is not None else None
+        ref_syn = [sorted(syn.ids(w)) for w in ref] if syn is not None else None
         weighted, m, chunks = _native_mod.meteor_stats(
             list(hyp), list(ref),
             [porter_stem(w) for w in hyp], [porter_stem(w) for w in ref],
             STAGE_WEIGHTS[0], STAGE_WEIGHTS[1],
+            hyp_syn, ref_syn, STAGE_WEIGHTS[2],
         )
         return weighted, m, chunks, len(hyp), len(ref)
-    matches = _align(hyp, ref)
-    # weighted: exact matches weight 1.0, stem-only matches 0.6
-    weighted = 0.0
-    for i, j in matches:
-        weighted += STAGE_WEIGHTS[0] if hyp[i] == ref[j] else STAGE_WEIGHTS[1]
+    matches = _align(hyp, ref, syn)
+    weighted = sum(_match_weight(hyp[i], ref[j]) for i, j in matches)
     return weighted, len(matches), _count_chunks(matches), len(hyp), len(ref)
 
 
@@ -113,6 +190,12 @@ def _score_from_stats(weighted, m, chunks, lh, lr) -> float:
 
 
 class Meteor:
+    def __init__(self, synonyms=None):
+        """``synonyms``: None, a SynonymTable, a path to a one-group-per-line
+        text file, or an iterable of word groups.  When set, enables the
+        meteor-1.5 synonym stage (stage 3, weight 0.8)."""
+        self.synonyms = _resolve_synonyms(synonyms)
+
     def compute_score(self, gts: Dict[str, List[str]], res: Dict[str, List[str]]):
         assert sorted(gts.keys()) == sorted(res.keys())
         import numpy as np
@@ -125,7 +208,7 @@ class Meteor:
             best_score, best_stats = 0.0, (0.0, 0, 0, len(hyp), 0)
             for ref_s in gts[img]:
                 ref = ref_s.split()
-                stats = _segment_stats(hyp, ref)
+                stats = _segment_stats(hyp, ref, self.synonyms)
                 s = _score_from_stats(*stats)
                 if s >= best_score:
                     best_score, best_stats = s, stats

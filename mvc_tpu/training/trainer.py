@@ -78,6 +78,7 @@ class Trainer:
         self._transfer_dtype = None
         self._transfer_int8 = False
         self._device_prefetch = False
+        self._meteor_synonyms = None
 
     # ------------------------------------------------------------ jit builds
     def _build_train_step(self, model, cfg: TrainerConfig):
@@ -253,6 +254,7 @@ class Trainer:
         if td and not self._transfer_int8:
             self._transfer_dtype = jnp.dtype(td)
         self._device_prefetch = bool(getattr(cfg, "device_prefetch", False))
+        self._meteor_synonyms = getattr(cfg, "meteor_synonyms", None)
         self._optimizer = opt_lib.make_optimizer(cfg)
         self.lr_scheduler = opt_lib.PlateauScheduler(
             lr=cfg.lr, factor=cfg.lr_decay_gamma, patience=cfg.lr_decay_patience,
@@ -459,7 +461,7 @@ class Trainer:
 
         scores = None
         if get_scores:
-            scores = NLPScore(vid_gt, vid_gen)
+            scores = NLPScore(vid_gt, vid_gen, meteor_synonyms=self._meteor_synonyms)
             # The reference logs exactly Bleu_1..4/ROUGE_L/CIDEr
             # (src/train.py:340-345); METEOR is computed by NLPScore either
             # way, so we additionally expose it as a scalar.

@@ -137,3 +137,41 @@ def test_coco_eval_cap():
     out = e.evaluate()
     assert "CIDEr" in out and "Bleu_4" in out
     assert set(e.imgToEval.keys()) == set(GTS.keys())
+
+
+def test_meteor_synonym_table(tmp_path):
+    """A user-supplied synonym table enables METEOR stage 3 (weight 0.8) and
+    changes scores exactly as the match-weight math predicts."""
+    from mvc_tpu.evalcap.meteor import ALPHA, Meteor, SynonymTable
+
+    gts = {"v0": ["a man plays a guitar"]}
+    res = {"v0": ["a guy plays a guitar"]}
+
+    base, _ = Meteor().compute_score(gts, res)
+    syn, _ = Meteor(synonyms=[["man", "guy"]]).compute_score(gts, res)
+    assert syn > base
+
+    # exact expectation: 5 words, 4 exact (w 1.0) + 1 synonym (w 0.8) = 4.8
+    # matched contiguously -> 1 chunk + full-match-short-circuit doesn't apply
+    # (m == lh == lr but chunks... all 5 matched, single chunk? matches are
+    # (0,0),(1,1),(2,2),(3,3),(4,4) -> 1 chunk and m==lh==lr -> pen zeroed)
+    p = r = 4.8 / 5
+    fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
+    assert syn == pytest.approx(fmean)
+
+    # file loading: one group per line
+    f = tmp_path / "syn.txt"
+    f.write_text("man guy fellow\nguitar axe\n")
+    t = SynonymTable.load(str(f))
+    assert t.ids("man") == t.ids("guy") == t.ids("fellow")
+    assert t.ids("guitar") and t.ids("guitar") == t.ids("axe")
+    assert not (t.ids("man") & t.ids("guitar"))
+    from_file, _ = Meteor(synonyms=str(f)).compute_score(gts, res)
+    assert from_file == pytest.approx(syn)
+
+    # NLPScore plumbing
+    from mvc_tpu.evalcap import NLPScore
+    s0 = NLPScore(gts, res)
+    s1 = NLPScore(gts, res, meteor_synonyms=str(f))
+    assert s1["METEOR"] > s0["METEOR"]
+    assert s1["CIDEr"] == pytest.approx(s0["CIDEr"])  # other metrics untouched

@@ -77,3 +77,33 @@ def test_lcs_equivalence(native):
                 cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
             prev = cur
         assert native.lcs(a, b) == prev[len(b)]
+
+
+def test_meteor_synonym_stage_equivalence(native):
+    """Fuzz: C++ synonym-stage stats == pure-Python (VERDICT r1 #6)."""
+    from mvc_tpu.evalcap import meteor as m
+    from mvc_tpu.evalcap.stemmer import porter_stem
+
+    rng = random.Random(3)
+    words = ["the", "dog", "puppy", "canine", "runs", "sprints", "a", "cat",
+             "feline", "kitten", "plays", "guitar", "axe", "man", "guy", "big",
+             "large", "huge"]
+    groups = [["dog", "puppy", "canine"], ["cat", "feline", "kitten"],
+              ["runs", "sprints"], ["guitar", "axe"], ["man", "guy"],
+              ["big", "large", "huge"], ["large", "giant"]]  # overlapping sets
+    table = m.SynonymTable(groups)
+
+    for _ in range(300):
+        hyp = [rng.choice(words) for _ in range(rng.randint(0, 12))]
+        ref = [rng.choice(words) for _ in range(rng.randint(1, 12))]
+        matches = m._align(hyp, ref, table)
+        py_weighted = sum(m._match_weight(hyp[i], ref[j]) for i, j in matches)
+        py = (py_weighted, len(matches), m._count_chunks(matches))
+        cpp = native.meteor_stats(
+            hyp, ref, [porter_stem(w) for w in hyp], [porter_stem(w) for w in ref],
+            m.STAGE_WEIGHTS[0], m.STAGE_WEIGHTS[1],
+            [sorted(table.ids(w)) for w in hyp], [sorted(table.ids(w)) for w in ref],
+            m.STAGE_WEIGHTS[2],
+        )
+        assert cpp[1] == py[1] and cpp[2] == py[2], (hyp, ref, cpp, py)
+        assert abs(cpp[0] - py[0]) < 1e-9
