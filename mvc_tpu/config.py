@@ -119,6 +119,11 @@ class TrainerConfig:
     # Device-put the next batch on a background thread while the current step
     # runs (overlaps H2D with compute).
     device_prefetch: bool = True
+    # Keep every unique clip's features resident in HBM (stored in
+    # transfer_dtype) and send only caption ids + row indices per step —
+    # removes the dominant off-host H2D cost for datasets that fit (MSVD
+    # features are ~100s of MB).  See mvc_tpu/data/feature_cache.py.
+    device_feature_cache: bool = False
     # Static-shape bucketing ladders (frames T, caption length L).  A batch is
     # padded up to the smallest bucket that fits; caps bound XLA recompiles.
     frame_buckets: Sequence[int] = (8, 16, 32, 48, 64)

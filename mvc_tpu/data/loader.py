@@ -93,6 +93,13 @@ class DataLoader:
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
         self._lengths = None
+        self.feature_cache = None
+
+    def attach_feature_cache(self, cache) -> None:
+        """Switch to the light index path: batches carry caption ids +
+        cache row indices only; features stay device-resident
+        (mvc_tpu.data.feature_cache.DeviceFeatureCache)."""
+        self.feature_cache = cache
 
     def _my_indices(self) -> np.ndarray:
         """This process's disjoint strided slice of the dataset."""
@@ -142,10 +149,23 @@ class DataLoader:
         bs = self.batch_size
         n_full = len(order) // bs
         ends = len(order) if not self.drop_last else n_full * bs
+        cache = self.feature_cache
         for start in range(0, ends, bs):
             idx = order[start : start + bs]
-            items = [self.dataset[int(i)] for i in idx]
             pad_to = bs if self.pad_partial_batches else None
+            if cache is not None:
+                from mvc_tpu.data.feature_cache import collate_index_batch
+
+                yield collate_index_batch(
+                    cache.caption_rows[idx],
+                    [cache.caption_ids[int(i)] for i in idx],
+                    cache.lengths_np,
+                    caption_buckets=self.caption_buckets,
+                    frame_buckets=self.frame_buckets,
+                    pad_batch_to=pad_to,
+                )
+                continue
+            items = [self.dataset[int(i)] for i in idx]
             yield collate_av_batch(
                 items,
                 frame_buckets=self.frame_buckets,

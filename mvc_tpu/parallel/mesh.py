@@ -113,7 +113,8 @@ def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
     sample_mask=False and drop out of every loss)."""
     import numpy as np
 
-    b = batch["audio"].shape[0]
+    ref_key = "audio" if "audio" in batch else "video_rows"
+    b = batch[ref_key].shape[0]
     target = ((b + multiple - 1) // multiple) * multiple
     if target == b:
         return batch

@@ -22,7 +22,67 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """Device trees -> numpy.  All D2H copies are started before any is
+    awaited — off-host (tunnel) transfers overlap instead of paying a
+    round-trip per leaf (measured ~1.5x on axon)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    for leaf in leaves:
+        if hasattr(leaf, "copy_to_host_async"):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass
+    return jax.tree.unflatten(treedef, [np.asarray(x) for x in leaves])
+
+
+class AsyncSaver:
+    """Background checkpoint writer.
+
+    ``submit`` snapshots the device state with on-device copies (safe against
+    the train loop's buffer donation) and hands the D2H fetch + pickle to a
+    worker thread, so multi-hundred-MB checkpoint transfers overlap training
+    instead of stalling the epoch.  Single-process only (multi-process runs
+    need a process-0 gather first)."""
+
+    def __init__(self):
+        self._thread = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def submit(self, jobs) -> None:
+        """jobs: list of (path, payload) where payloads may share device
+        trees; each device leaf is snapshotted once."""
+        import threading
+
+        self.wait()
+
+        snapped = {}
+
+        def snap(tree):
+            def one(x):
+                if isinstance(x, jax.Array):
+                    key = id(x)
+                    if key not in snapped:
+                        snapped[key] = jax.numpy.copy(x)
+                    return snapped[key]
+                return x
+            return jax.tree.map(one, tree)
+
+        prepared = [
+            (path, {k: snap(v) if k in ("params", "opt_state") else v
+                    for k, v in payload.items()})
+            for path, payload in jobs
+        ]
+
+        def work():
+            for path, payload in prepared:
+                save_checkpoint(path, payload)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
 
 
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:

@@ -31,7 +31,12 @@ from mvc_tpu.evalcap import NLPScore
 from mvc_tpu.parallel import mesh as mesh_lib
 from mvc_tpu.training import losses as loss_lib
 from mvc_tpu.training import optimizer as opt_lib
-from mvc_tpu.training.checkpoint import load_checkpoint, restore_params_like, save_checkpoint
+from mvc_tpu.training.checkpoint import (
+    AsyncSaver,
+    load_checkpoint,
+    restore_params_like,
+    save_checkpoint,
+)
 
 LOSS_KEYS = ("total", "ce", "e", "a_recon", "v_recon")
 
@@ -79,6 +84,7 @@ class Trainer:
         self._transfer_int8 = False
         self._device_prefetch = False
         self._meteor_synonyms = None
+        self._saver = AsyncSaver()
 
     # ------------------------------------------------------------ jit builds
     def _build_train_step(self, model, cfg: TrainerConfig):
@@ -117,8 +123,33 @@ class Trainer:
             _, metrics = compute_loss(params, batch, rng, 0.0)
             return metrics
 
+        # Device-feature-cache variants: the batch carries caption ids + cache
+        # row indices only; features/frame-mask are gathered on device (the
+        # per-step H2D payload drops from ~MBs of features to ~KBs of ids).
+        from mvc_tpu.data.feature_cache import gather_features
+
+        def _with_features(batch, cache_arrays, t_pad):
+            audio, visual, feat_mask = gather_features(
+                cache_arrays, batch["video_rows"], t_pad,
+                sample_mask=batch.get("sample_mask"),
+            )
+            full = dict(batch)
+            full.update(audio=audio, visual=visual, feat_mask=feat_mask)
+            return full
+
+        def train_step_cached(params, opt_state, batch, cache_arrays, rng, t_pad):
+            return train_step(params, opt_state,
+                              _with_features(batch, cache_arrays, t_pad), rng)
+
+        def eval_loss_step_cached(params, batch, cache_arrays, rng, t_pad):
+            return eval_loss_step(params, _with_features(batch, cache_arrays, t_pad), rng)
+
         # Sharding is carried by the input placements (params via
         # param_shardings, batches via shard_batch); GSPMD propagates it.
+        self._train_step_cached = jax.jit(
+            train_step_cached, donate_argnums=(0, 1), static_argnums=(5,)
+        )
+        self._eval_loss_step_cached = jax.jit(eval_loss_step_cached, static_argnums=(4,))
         train_step = jax.jit(train_step, donate_argnums=(0, 1))
         eval_loss_step = jax.jit(eval_loss_step)
         return train_step, eval_loss_step
@@ -219,6 +250,19 @@ class Trainer:
             yield item
 
     # ------------------------------------------------------------ chkpt
+    def _main_payload(self, epoch, params, opt_state):
+        import copy
+
+        return {
+            "epoch": epoch,
+            "params": params,
+            "opt_state": opt_state,
+            "scheduler": self.lr_scheduler.state_dict(),
+            "history": copy.deepcopy(self.history),
+            "best_loss": self.best_loss,
+            "best_CIDEr": self.best_CIDEr,
+        }
+
     def _load(self, params):
         ckpt = load_checkpoint(self.checkpoint_name)
         if ckpt is None:
@@ -236,15 +280,7 @@ class Trainer:
         return params, ckpt
 
     def _save(self, epoch, params, opt_state):
-        save_checkpoint(self.checkpoint_name, {
-            "epoch": epoch,
-            "params": params,
-            "opt_state": opt_state,
-            "scheduler": self.lr_scheduler.state_dict(),
-            "history": self.history,
-            "best_loss": self.best_loss,
-            "best_CIDEr": self.best_CIDEr,
-        })
+        save_checkpoint(self.checkpoint_name, self._main_payload(epoch, params, opt_state))
 
     # ------------------------------------------------------------ fit
     def fit(self, model, params, train_loader, val_loader, test_loader, train_config: TrainerConfig):
@@ -294,6 +330,25 @@ class Trainer:
 
         self._train_step, self._eval_loss_step = self._build_train_step(model, cfg)
 
+        # Device-resident feature cache (opt-in): all unique clips' features
+        # go to HBM once; per-step transfer is caption ids + row indices.
+        if getattr(cfg, "device_feature_cache", False):
+            from mvc_tpu.data.feature_cache import DeviceFeatureCache
+
+            dtype = getattr(cfg, "transfer_dtype", None) or "float32"
+            caches = {}
+            for loader in (train_loader, val_loader):
+                if not hasattr(loader, "attach_feature_cache"):
+                    continue
+                key = id(loader.dataset)
+                if key not in caches:
+                    caches[key] = DeviceFeatureCache(
+                        loader.dataset, dtype=dtype, mesh=self.mesh
+                    )
+                    print(f"Device feature cache: {caches[key].nbytes() / 1e6:.1f} MB "
+                          f"({len(caches[key].row_of)} clips, T_top={caches[key].t_top})")
+                loader.attach_feature_cache(caches[key])
+
         eval_kwargs = dict(
             batch_size=cfg.batch_size, frame_buckets=tuple(cfg.frame_buckets)
         )
@@ -321,6 +376,8 @@ class Trainer:
             self.history["train_loss"].append(train_loss)
             self.history["val_loss"].append(val_loss)
 
+            save_main = False
+            save_best = False
             if epoch % self.eval_freq == 0 or epoch == cfg.epochs:
                 eval_kw = dict(
                     max_caption_len=cfg.eval_max_caption_len,
@@ -344,24 +401,40 @@ class Trainer:
                     print(f"CIDEr improved from {self.best_CIDEr} to {val_score['CIDEr']}.")
                     print(f"Saving checkpoint to: {self.checkpoint_name}")
                     self.best_CIDEr = val_score["CIDEr"]
-                    self._save(epoch, params, opt_state)
-                    save_checkpoint(
-                        self.checkpoint_name.replace(".ckpt", "_best.ckpt"),
-                        {"epoch": epoch, "params": params, "history": self.history},
-                    )
+                    save_main = save_best = True
 
             if val_loss["total"] < self.best_loss:
                 print(f"Validation loss improved from {self.best_loss} to {val_loss['total']}.")
                 print(f"Saving checkpoint to: {self.checkpoint_name}")
                 self.best_loss = val_loss["total"]
-                self._save(epoch, params, opt_state)
+                save_main = True
+
+            # One device-state snapshot per epoch regardless of how many
+            # triggers fired; the D2H fetch + pickle run on the saver thread
+            # so the next epoch starts immediately (the reference both blocks
+            # and double-saves here, src/train.py:156-173).
+            if (save_main or save_best) and jax.process_index() == 0:
+                import copy
+
+                jobs = []
+                if save_main:
+                    jobs.append((self.checkpoint_name,
+                                 self._main_payload(epoch, params, opt_state)))
+                if save_best:
+                    jobs.append((self.checkpoint_name.replace(".ckpt", "_best.ckpt"),
+                                 {"epoch": epoch, "params": params,
+                                  "history": copy.deepcopy(self.history)}))
+                self._saver.submit(jobs)
 
             print(f"Epoch time: {time.time() - t0:.1f}s")
 
-        save_checkpoint(
-            self.checkpoint_name.replace(".ckpt", "_last.ckpt"),
-            {"epoch": cfg.epochs, "params": params, "history": self.history},
-        )
+        if jax.process_index() == 0:
+            self._saver.submit([(
+                self.checkpoint_name.replace(".ckpt", "_last.ckpt"),
+                {"epoch": cfg.epochs, "params": params,
+                 "history": self.history},
+            )])
+        self._saver.wait()
         self.summary_writer.close()
         return params, opt_state, self.history
 
@@ -370,7 +443,12 @@ class Trainer:
         sums = {k: 0.0 for k in LOSS_KEYS}
         n_batches = 0
         n_samples = 0
-        pending = None  # (step_no, metrics) — log one step behind to avoid sync
+        # Per-step metric scalars stay ON DEVICE until the epoch ends: a
+        # float() per step is a full host round-trip (tunnel RTT dominates
+        # off-host), and it also blocks async dispatch pipelining.  One
+        # device_get fetches the whole epoch; TB step scalars are then
+        # written retroactively with the same tags/step numbers.
+        step_metrics = []
 
         # Optional profiler trace of this epoch (SURVEY.md §5: tracing hooks).
         profile_dir = os.environ.get("MVC_PROFILE_DIR")
@@ -378,18 +456,23 @@ class Trainer:
         if do_profile:
             jax.profiler.start_trace(profile_dir)
 
+        cache = getattr(dataloader, "feature_cache", None)
         t0 = time.time()
         for i, batch in enumerate(self._device_batches(dataloader)):
-            n_samples += batch.pop("_n_real", batch["audio"].shape[0])
+            n_samples += batch.pop("_n_real", batch["captions"].shape[1])
             step_rng = jax.random.fold_in(rng, i)
-            params, opt_state, metrics = self._train_step(params, opt_state, batch, step_rng)
+            if cache is not None:
+                t_pad = batch.pop("t_pad")
+                params, opt_state, metrics = self._train_step_cached(
+                    params, opt_state, batch, cache.arrays(), step_rng, t_pad
+                )
+            else:
+                params, opt_state, metrics = self._train_step(params, opt_state, batch, step_rng)
 
-            if pending is not None:
-                self._log_metrics("train", *pending, sums)
-            pending = (epoch * len(dataloader) + i, metrics)
+            step_metrics.append(metrics)
             n_batches += 1
-        if pending is not None:
-            self._log_metrics("train", *pending, sums)
+        for i, m in enumerate(jax.device_get(step_metrics)):
+            self._log_metrics("train", epoch * len(dataloader) + i, m, sums)
         dt = time.time() - t0
         if do_profile:
             jax.profiler.stop_trace()
@@ -418,11 +501,21 @@ class Trainer:
         sums = {k: 0.0 for k in LOSS_KEYS}
         n_batches = 0
         rng = jax.random.PRNGKey(0)
+        cache = getattr(dataloader, "feature_cache", None)
+        step_metrics = []
         for i, batch in enumerate(self._device_batches(dataloader)):
             batch.pop("_n_real", None)
-            metrics = self._eval_loss_step(params, batch, rng)
-            self._log_metrics(phase, epoch * len(dataloader) + i, metrics, sums)
+            if cache is not None:
+                t_pad = batch.pop("t_pad")
+                metrics = self._eval_loss_step_cached(
+                    params, batch, cache.arrays(), rng, t_pad
+                )
+            else:
+                metrics = self._eval_loss_step(params, batch, rng)
+            step_metrics.append(metrics)
             n_batches += 1
+        for i, m in enumerate(jax.device_get(step_metrics)):
+            self._log_metrics(phase, epoch * len(dataloader) + i, m, sums)
         n = max(n_batches, 1)
         avg = {k: sums[k] / n for k in LOSS_KEYS}
         for k in LOSS_KEYS:

@@ -153,3 +153,49 @@ def test_eval_logs_all_nlp_scalars(synthetic_msvd):
     for name in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
         assert f"val/score/direct/{name}" in rec.tags
         assert np.isfinite(scores[name])
+
+
+def test_device_feature_cache_equivalence(synthetic_msvd, tmp_path):
+    """Cached-feature training (VERDICT r1 #8) must match the uncached path
+    exactly: same per-epoch losses, same final eval scores."""
+    histories = {}
+    for cached in (False, True):
+        train_loader, val_loader = _loaders(synthetic_msvd)
+        train_loader.shuffle = False
+        val_loader.shuffle = False
+        vocab = train_loader.dataset.vocab
+        model = _model(vocab, "global")
+        params = model.init(jax.random.PRNGKey(0))
+
+        cfg = TrainerConfig()
+        cfg.epochs = 2
+        cfg.batch_size = 6
+        cfg.lr = 5e-3
+        cfg.frame_buckets = (8,)
+        cfg.caption_buckets = (12,)
+        cfg.eval_max_caption_len = 12
+        cfg.transfer_dtype = None
+        cfg.device_feature_cache = cached
+
+        trainer = Trainer(checkpoint_name=str(tmp_path / f"cache{cached}.ckpt"),
+                          log_dir=None, eval_freq=2)
+        _, _, history = trainer.fit(model, params, train_loader, val_loader, val_loader, cfg)
+        histories[cached] = history
+        if cached:
+            assert train_loader.feature_cache is not None
+
+    for e in range(2):
+        for k in ("total", "ce", "a_recon", "v_recon"):
+            np.testing.assert_allclose(
+                histories[True]["train_loss"][e][k],
+                histories[False]["train_loss"][e][k],
+                rtol=1e-5, atol=1e-6, err_msg=f"train {k} epoch {e}",
+            )
+            np.testing.assert_allclose(
+                histories[True]["val_loss"][e][k],
+                histories[False]["val_loss"][e][k],
+                rtol=1e-5, atol=1e-6, err_msg=f"val {k} epoch {e}",
+            )
+    assert histories[True]["val_score"][0]["CIDEr"] == pytest.approx(
+        histories[False]["val_score"][0]["CIDEr"], rel=1e-6
+    )
