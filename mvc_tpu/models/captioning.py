@@ -198,6 +198,20 @@ class AVCaptioning:
         (reference src/models/captioning.py:131-144)."""
         features = jnp.concatenate([audio, visual], axis=-1)
         if mode == "direct":
+            from mvc_tpu.ops.dispatch import use_pallas
+
+            if use_pallas() and self.decoder_config.rnn_type == "LSTM":
+                # Whole-decode fused kernel (ops/pallas_decode.py): weights
+                # stream as double-buffered tiles in the model's compute
+                # dtype; tokens-only output.  1.4x the XLA scan at the
+                # headline decode shape (BENCH_NOTES.md round 2).
+                from mvc_tpu.ops.pallas_decode import greedy_decode_pallas
+
+                return greedy_decode_pallas(
+                    params["decoder"], features, feat_mask=feat_mask,
+                    max_caption_len=max_caption_len,
+                    weight_dtype=jnp.dtype(self.dtype).name,
+                )
             outputs, _ = dec.decode(
                 params["decoder"], self.decoder_config, features,
                 captions=None, max_caption_len=max_caption_len,

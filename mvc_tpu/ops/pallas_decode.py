@@ -1,0 +1,314 @@
+"""Fused whole-sentence greedy decode as ONE Pallas TPU kernel.
+
+Round-1 measured the per-step kernels (pallas_attention + pallas_lstm inside
+a lax.scan) at 23.5k captions/s vs 29.6k for XLA at the headline decode shape
+(B=64, T=16, L=30, V=4000): per-step pallas_call overhead plus full weight
+re-reads per step lose to XLA's streaming fusion (BENCH_NOTES.md).  This is
+the round-2 design (ROADMAP #2): the ENTIRE greedy decode
+(reference src/models/features_captioning.py:91-129 with tf off) runs in one
+pallas_call —
+
+- small state lives in VMEM for all L steps: features, attention keys,
+  embedding table, recurrent weights ``wh``, attention params, biases
+- the two big matrices stream from HBM in double-buffered, tile-major chunks:
+  ``wi`` [K, 4H] as gate-column tiles and ``wout`` [H, V] as vocab tiles —
+  each tile's DMA overlaps the previous tile's MXU work, and VMEM never holds
+  more than two tiles of either
+- greedy feed needs only ``argmax(logits)`` (log-softmax is monotone), so the
+  vocab projection keeps a running (max, argmax) across ``wout`` tiles and
+  the full [L, B, V] log-prob tensor is never materialized
+- gate tiles are processed in torch order (i, f, g, o) with the cell update
+  folded in, so only one [B, TG] gate stripe is live at a time
+- the step/frame/tile loops are fully unrolled (L, T and the tile counts are
+  small static numbers), so every memory access has a static offset —
+  Mosaic's alignment rules for dynamic lane/sublane indices never trigger,
+  and h/c/prev/gates are plain SSA values
+
+Per-step HBM traffic drops from ~32 MB (f32 wi+wh+wout, XLA) to ~14 MB of
+bf16 tiles; everything else is VMEM-resident.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _decode_kernel(
+    # VMEM-resident inputs (feats/keys time-major: per-frame reads index the
+    # leading, untiled axis)
+    feats_ref,      # [T, B, F]
+    keys2_ref,      # [B, T*A]    (precomputed U @ feats, frame-blocks on lanes)
+    wblk_ref,       # [T*A, T]    (energy vector w on the block diagonal)
+    mask_ref,       # [B, T]      f32 (1.0 attendable / 0.0 masked)
+    emb_ref,        # [Vp, E]     (padded vocab rows are zeros)
+    attn_w_ref,     # [H, A]      (query projection W)
+    attn_b_ref,     # [1, A]      f32
+    wh_ref,         # [H, 4H]
+    b_gates_ref,    # [1, 4H]     f32 (bi + bh)
+    b_out_ref,      # [1, Vp]     f32 (padded cols = -inf so argmax skips them)
+    # HBM-resident streamed inputs (tile-major)
+    wi_hbm,         # [n_g, Kp, TG]
+    wout_hbm,       # [n_v, H, TV]
+    # output
+    tokens_ref,     # [B, L] int32
+    # scratch
+    wi_buf,         # [2, Kp, TG]
+    wout_buf,       # [2, H, TV]
+    wi_sem,         # DMA (2,)
+    wout_sem,       # DMA (2,)
+    *,
+    L: int,
+    sos_id: int,
+):
+    T, B, F = feats_ref.shape
+    H = wh_ref.shape[0]
+    Vp = emb_ref.shape[0]
+    E = emb_ref.shape[1]
+    Kp = wi_buf.shape[1]
+    n_g, _, TG = wi_hbm.shape
+    n_v, _, TV = wout_hbm.shape
+    wdtype = wi_buf.dtype
+    pad = Kp - (F + E)
+
+    def wi_dma(slot, j):
+        return pltpu.make_async_copy(wi_hbm.at[j], wi_buf.at[slot], wi_sem.at[slot])
+
+    def wout_dma(slot, j):
+        return pltpu.make_async_copy(wout_hbm.at[j], wout_buf.at[slot], wout_sem.at[slot])
+
+    h = jnp.zeros((B, H), jnp.float32)
+    c = jnp.zeros((B, H), jnp.float32)
+    prev = jnp.full((B, 1), sos_id, jnp.int32)
+
+    wi_dma(0, 0).start()  # warm up the stream
+
+    for t in range(L):
+        # ---- 1. embedding of prev token: one-hot matmul on the MXU
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+        onehot = (iota_v == prev).astype(wdtype)               # [B, Vp]
+        embedded = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
+
+        # ---- 2. additive attention over frames.  All T frames' energies in
+        # ONE matmul: tanh(q (tiled over frame blocks) + keys) contracted
+        # against a block-diagonal copy of the energy vector w.
+        q = jnp.dot(h.astype(wdtype), attn_w_ref[:],
+                    preferred_element_type=jnp.float32)        # [B, A]
+        q_b = q + attn_b_ref[:]
+        qrep = jnp.concatenate([q_b] * T, axis=1)              # [B, T*A]
+        e_all = jnp.tanh(qrep + keys2_ref[:].astype(jnp.float32))
+        energies = jnp.dot(e_all.astype(wdtype), wblk_ref[:],
+                           preferred_element_type=jnp.float32)  # [B, T]
+        mask = mask_ref[:]
+        neg = jnp.float32(-1e30)
+        energies = jnp.where(mask > 0, energies, neg)
+        m = jnp.max(energies, axis=1, keepdims=True)
+        m = jnp.where(m > neg / 2, m, 0.0)
+        unnorm = jnp.where(mask > 0, jnp.exp(energies - m), 0.0)
+        denom = jnp.maximum(jnp.sum(unnorm, axis=1, keepdims=True), 1e-30)
+        weights = unnorm / denom                               # [B, T] f32
+
+        context = jnp.zeros((B, F), jnp.float32)
+        for tt in range(T):
+            context = context + weights[:, tt:tt + 1] * feats_ref[tt].astype(jnp.float32)
+
+        # ---- 3. step input x = [context | embedded | 0-pad]
+        parts = [context.astype(wdtype), embedded.astype(wdtype)]
+        if pad:
+            parts.append(jnp.zeros((B, pad), wdtype))
+        x = jnp.concatenate(parts, axis=1)                     # [B, Kp]
+        h_prev = h.astype(wdtype)
+
+        # ---- 4. gates from double-buffered wi tiles (torch order i,f,g,o)
+        tiles_per_gate = H // TG
+        i_parts, g_parts = [None] * tiles_per_gate, [None] * tiles_per_gate
+        c_parts = [c[:, k * TG:(k + 1) * TG] for k in range(tiles_per_gate)]
+        h_parts = [None] * tiles_per_gate
+        for j in range(n_g):
+            slot, nxt = j % 2, (j + 1) % 2
+            if j + 1 < n_g:
+                wi_dma(nxt, j + 1).start()
+            else:
+                wout_dma(0, 0).start()
+            wi_dma(slot, j).wait()
+            col = j * TG
+            gv = (
+                jnp.dot(x, wi_buf[slot], preferred_element_type=jnp.float32)
+                + jnp.dot(h_prev, wh_ref[:, col:col + TG],
+                          preferred_element_type=jnp.float32)
+                + b_gates_ref[:, col:col + TG]
+            )                                                  # [B, TG]
+            gate_id, k = col // H, (col % H) // TG
+            if gate_id == 0:
+                i_parts[k] = jax.nn.sigmoid(gv)
+            elif gate_id == 1:
+                c_parts[k] = jax.nn.sigmoid(gv) * c_parts[k]
+            elif gate_id == 2:
+                g_parts[k] = jnp.tanh(gv)
+            else:
+                c_parts[k] = c_parts[k] + i_parts[k] * g_parts[k]
+                h_parts[k] = jax.nn.sigmoid(gv) * jnp.tanh(c_parts[k])
+        c = jnp.concatenate(c_parts, axis=1)
+        h = jnp.concatenate(h_parts, axis=1)
+
+        # ---- 5. vocab projection from double-buffered wout tiles + running argmax
+        best_val = jnp.full((B, 1), -jnp.inf, jnp.float32)
+        best_idx = jnp.zeros((B, 1), jnp.int32)
+        h_new = h.astype(wdtype)
+        for j in range(n_v):
+            slot, nxt = j % 2, (j + 1) % 2
+            if j + 1 < n_v:
+                wout_dma(nxt, j + 1).start()
+            elif t + 1 < L:
+                wi_dma(0, 0).start()       # next step's first gate tile
+            wout_dma(slot, j).wait()
+            logits = (
+                jnp.dot(h_new, wout_buf[slot], preferred_element_type=jnp.float32)
+                + b_out_ref[:, j * TV:(j + 1) * TV]
+            )                                                  # [B, TV]
+            loc_max = jnp.max(logits, axis=1, keepdims=True)
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (B, TV), 1)
+            # torch/XLA argmax tie-breaks to the LOWEST index
+            loc_arg = jnp.min(
+                jnp.where(logits == loc_max, iota_t + j * TV, jnp.int32(2**30)),
+                axis=1, keepdims=True,
+            )
+            better = loc_max > best_val
+            best_idx = jnp.where(better, loc_arg, best_idx)
+            best_val = jnp.where(better, loc_max, best_val)
+
+        prev = best_idx
+        tokens_ref[:, t:t + 1] = best_idx                      # column t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_caption_len", "sos_id", "tile_g", "tile_v", "weight_dtype", "interpret"
+    ),
+)
+def greedy_decode_pallas(
+    params,
+    feats: jnp.ndarray,                      # [B, T, F] (any float dtype)
+    feat_mask: Optional[jnp.ndarray] = None,  # [B, T] bool
+    max_caption_len: int = 30,
+    sos_id: int = 1,
+    tile_g: int = 256,
+    tile_v: int = 512,
+    weight_dtype: str = "bfloat16",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-decode fused greedy predict -> tokens [B, L], matching
+    ``greedy_tokens(decode(..., captions=None, max_caption_len=L)[0])``:
+    column 0 is the argmax of the zero row (= 0) and columns 1..L-1 are the
+    L-1 decode steps.
+
+    ``params`` is an init_decoder tree.  Weights stream as ``weight_dtype``
+    tiles (bf16 for the perf path; f32 for exact-parity tests); activations
+    accumulate in f32.
+    """
+    B, T, F = feats.shape
+    wdtype = jnp.dtype(weight_dtype)
+
+    emb = params["embedding"]["table"]
+    V, E = emb.shape
+    wi = params["rnn"]["wi"]
+    wh = params["rnn"]["wh"]
+    K1, H4 = wi.shape
+    H = H4 // 4
+    wout = params["out"]["w"]
+    b_out = params["out"]["b"].astype(jnp.float32)
+    ap = params["attention"]
+    A = ap["W"].shape[1]
+
+    # L-1 in-kernel steps; the leading zero column is prepended below.
+    L = int(max_caption_len) - 1
+    assert L >= 1, "max_caption_len must be >= 2"
+    if H % tile_g or tile_g > H:
+        tile_g = H
+    tile_v = min(tile_v, _round_up(V, 128))
+    Vp = _round_up(V, tile_v)
+    Kp = _round_up(K1, 256)
+
+    feats_h = feats.astype(wdtype)
+    keys = (feats_h @ ap["U"].astype(wdtype)).astype(wdtype)
+    feats_tm = feats_h.transpose(1, 0, 2)      # [T, B, F] time-major
+    keys2 = keys.reshape(B, T * A)             # [B, T*A] frame-major lane blocks
+    w_vec = ap["w"].astype(wdtype)
+    wblk = jnp.zeros((T * A, T), wdtype)
+    for tt_ in range(T):
+        wblk = wblk.at[tt_ * A:(tt_ + 1) * A, tt_].set(w_vec)
+    mask = (
+        feat_mask.astype(jnp.float32)
+        if feat_mask is not None else jnp.ones((B, T), jnp.float32)
+    )
+
+    emb_p = jnp.zeros((Vp, E), wdtype).at[:V].set(emb.astype(wdtype))
+
+    # x layout is [context(F) | embedded(E) | 0-pad]; reorder wi rows to match
+    # (decoder x = concat([embedded, context]) -> rows [E:], then rows [:E])
+    wi_x = jnp.concatenate([wi[E:], wi[:E]], axis=0).astype(wdtype)
+    wi_p = jnp.zeros((Kp, H4), wdtype).at[:K1].set(wi_x)
+    n_g = H4 // tile_g
+    wi_tiles = wi_p.reshape(Kp, n_g, tile_g).transpose(1, 0, 2)  # [n_g, Kp, TG]
+
+    n_v = Vp // tile_v
+    wout_p = jnp.zeros((H, Vp), wdtype).at[:, :V].set(wout.astype(wdtype))
+    wout_tiles = wout_p.reshape(H, n_v, tile_v).transpose(1, 0, 2)  # [n_v, H, TV]
+    b_out_p = jnp.full((1, Vp), -1e30, jnp.float32).at[0, :V].set(b_out)
+
+    b_gates = (params["rnn"]["bi"] + params["rnn"]["bh"]).astype(jnp.float32).reshape(1, H4)
+
+    kernel = functools.partial(_decode_kernel, L=L, sos_id=sos_id)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    tokens = pl.pallas_call(
+        kernel,
+        in_specs=[
+            vspec,  # feats
+            vspec,  # keys2
+            vspec,  # wblk
+            vspec,  # mask
+            vspec,  # emb
+            vspec,  # attn W
+            vspec,  # attn b
+            vspec,  # wh
+            vspec,  # b_gates
+            vspec,  # b_out
+            hspec,  # wi tiles (HBM)
+            hspec,  # wout tiles (HBM)
+        ],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((B, L), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, Kp, tile_g), wdtype),
+            pltpu.VMEM((2, H, tile_v), wdtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * B * (Kp * H4 + H * H4 + H * Vp + Vp * E + T * A),
+            bytes_accessed=L * (Kp * tile_g * n_g + H * Vp) * wdtype.itemsize,
+            transcendentals=L * B * (4 * H + T * A),
+        ),
+    )(
+        feats_tm, keys2, wblk, mask, emb_p,
+        ap["W"].astype(wdtype),
+        ap["b"].astype(jnp.float32).reshape(1, A),
+        wh.astype(wdtype), b_gates, b_out_p,
+        wi_tiles, wout_tiles,
+    )
+    return jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), tokens], axis=1
+    )                                                          # [B, max_caption_len]

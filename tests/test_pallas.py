@@ -64,3 +64,37 @@ def test_pallas_attention_unmasked(rng):
     ctx, w = attend_pallas(params, hidden, feats, keys, interpret=True)
     np.testing.assert_allclose(np.asarray(w), np.asarray(ref_w), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ctx), np.asarray(ref_ctx), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_fused_greedy_decode_matches_xla(rng):
+    """Whole-decode fused kernel (ops/pallas_decode.py) must produce the
+    exact greedy token ids of the XLA scan path (f32 weights, interpret)."""
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.ops.pallas_decode import greedy_decode_pallas
+
+    cfg = DecoderConfig(in_feature_size=24, rnn_hidden_size=16, embedding_size=8,
+                        attn_size=8, output_size=31)
+    params = dec.init_decoder(jax.random.PRNGKey(1), cfg)
+    B, T, L = 4, 5, 9
+    feats = jnp.asarray(rng.normal(size=(B, T, 24)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 3:] = False
+    mask = jnp.asarray(mask)
+
+    outputs, _ = dec.decode(params, cfg, feats, captions=None,
+                            max_caption_len=L, feat_mask=mask)
+    ref_tokens = np.asarray(dec.greedy_tokens(outputs))
+    tok = np.asarray(greedy_decode_pallas(
+        params, feats, feat_mask=mask, max_caption_len=L,
+        weight_dtype="float32", interpret=True,
+    ))
+    np.testing.assert_array_equal(tok, ref_tokens)
+
+    # unmasked + non-default tiles (still clamped to the tiny dims)
+    out2, _ = dec.decode(params, cfg, feats, captions=None, max_caption_len=L)
+    tok2 = np.asarray(greedy_decode_pallas(
+        params, feats, max_caption_len=L, tile_g=8, tile_v=256,
+        weight_dtype="float32", interpret=True,
+    ))
+    np.testing.assert_array_equal(tok2, np.asarray(dec.greedy_tokens(out2)))
