@@ -125,7 +125,9 @@ def collate_index_batch(
     l_max = max(c.shape[0] for c in caption_ids_list)
     l_pad = _bucket(l_max, caption_buckets)
     t_max = int(lengths[rows].max())
-    t_pad = _bucket(t_max, frame_buckets)
+    # The bucket may exceed the cache's stacked T_top (= global max length);
+    # clamp so the on-device gather slice and the frame mask agree.
+    t_pad = min(_bucket(t_max, frame_buckets), int(lengths.max()))
 
     captions = np.full((l_pad, b), PAD_ID, dtype=np.int32)
     video_rows = np.zeros((b,), dtype=np.int32)

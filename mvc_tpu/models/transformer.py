@@ -131,6 +131,54 @@ def _decoder_layer(p, x, memory, cfg, self_mask, cross_mask):
     return x
 
 
+# ------------------------------------------------- incremental (KV-cached)
+def _proj(pp, x):
+    return x @ pp["w"] + pp["b"]
+
+
+def _heads(x, num_heads):
+    B, L, D = x.shape
+    return x.reshape(B, L, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+
+
+def _mha_cached(p, q_in, k_cache, v_cache, num_heads, mask):
+    """One-query attention against cached K/V.  q_in: [B, 1, D];
+    k_cache/v_cache: [B, Lk, D] (already projected); mask broadcastable to
+    [B, heads, 1, Lk]."""
+    B, _, D = q_in.shape
+    hd = D // num_heads
+    q = _heads(_proj(p["q"], q_in), num_heads)            # [B, h, 1, hd]
+    k = _heads(k_cache, num_heads)
+    v = _heads(v_cache, num_heads)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+    if mask is not None:
+        logits = jnp.where(mask, logits, -1e9)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, 1, D)
+    return _proj(p["o"], out)
+
+
+def _decoder_layer_step(p, x_t, t, cache, mem_kv, cfg, cross_mask):
+    """One decode position through one layer with cached self K/V and
+    precomputed cross K/V.  x_t: [B, 1, D]; cache: {"k","v"} [B, Lh, D];
+    returns (x_t', cache')."""
+    h = _layernorm(p["ln1"], x_t)
+    cache = {
+        "k": jax.lax.dynamic_update_slice_in_dim(cache["k"], _proj(p["self"]["k"], h), t, 1),
+        "v": jax.lax.dynamic_update_slice_in_dim(cache["v"], _proj(p["self"]["v"], h), t, 1),
+    }
+    Lh = cache["k"].shape[1]
+    self_mask = (jnp.arange(Lh) <= t)[None, None, None, :]
+    x_t = x_t + _mha_cached(p["self"], h, cache["k"], cache["v"], cfg.num_heads, self_mask)
+    x_t = x_t + _mha_cached(
+        p["cross"], _layernorm(p["ln2"], x_t), mem_kv["k"], mem_kv["v"],
+        cfg.num_heads, cross_mask,
+    )
+    x_t = x_t + _ffn(p["ffn"], _layernorm(p["ln3"], x_t))
+    return x_t, cache
+
+
 class TransformerCaptioning:
     """Audio+video transformer captioner with late log-prob fusion."""
 
@@ -212,21 +260,68 @@ class TransformerCaptioning:
         zeros = jnp.zeros((1,) + out.shape[1:], out.dtype)
         return jnp.concatenate([zeros, out], axis=0), None, None
 
+    def _cross_kv(self, params, a_mem, v_mem):
+        """Per-layer cross-attention K/V of the encoder memories, projected
+        once per sequence (they are step-invariant)."""
+        def kv(layers, mem):
+            return [
+                {"k": _proj(l["cross"]["k"], mem), "v": _proj(l["cross"]["v"], mem)}
+                for l in layers
+            ]
+        return kv(params["a_decoder"], a_mem), kv(params["v_decoder"], v_mem)
+
+    def _fused_logp_1(self, params, xv, xa):
+        g = params["generator"]
+        v_logp = jax.nn.log_softmax(
+            (_layernorm(params["ln_v"], xv) @ g["w"] + g["b"]).astype(jnp.float32), -1)
+        a_logp = jax.nn.log_softmax(
+            (_layernorm(params["ln_a"], xa) @ g["w"] + g["b"]).astype(jnp.float32), -1)
+        return 0.5 * (v_logp + a_logp)
+
     def predict_tokens(self, params, audio, visual, max_caption_len=30,
                        mode="direct", beam_alpha=0.0, beam_width=5, feat_mask=None):
         a_mem, v_mem, cross_mask = self._encode(params, audio, visual, feat_mask)
         B = visual.shape[0]
         L = int(max_caption_len)
+        cfg = self.cfg
 
         if mode == "direct":
-            def step(tokens, t):
-                logp = self._decode_logits(params, tokens, a_mem, v_mem, cross_mask)
-                nxt = jnp.argmax(logp[:, t - 1], axis=-1).astype(jnp.int32)
-                return jax.lax.dynamic_update_index_in_dim(tokens, nxt, t, 1), None
+            # Incremental KV-cached decode (ROADMAP #6): O(L) per step
+            # instead of re-running the O(L^2) prefix.  Exact-token parity
+            # with the full-prefix path (tests/test_transformer.py).
+            a_kv, v_kv = self._cross_kv(params, a_mem, v_mem)
+            D = cfg.d_model
 
-            tokens0 = jnp.full((B, L), SOS_ID, dtype=jnp.int32)
-            tokens, _ = jax.lax.scan(step, tokens0, jnp.arange(1, L))
-            return tokens
+            def empty_caches():
+                return [
+                    {"k": jnp.zeros((B, L, D), self.dtype),
+                     "v": jnp.zeros((B, L, D), self.dtype)}
+                    for _ in range(cfg.num_layers)
+                ]
+
+            def step(carry, t):
+                prev, v_caches, a_caches = carry
+                pe_t = jax.lax.dynamic_slice_in_dim(self._pe, t, 1, 0)
+                x_t = params["embedding"]["table"][prev].astype(self.dtype)[:, None, :] + pe_t
+                xv, xa = x_t, x_t
+                new_v, new_a = [], []
+                for i in range(cfg.num_layers):
+                    xv, cv = _decoder_layer_step(
+                        params["v_decoder"][i], xv, t, v_caches[i], v_kv[i], cfg, cross_mask)
+                    xa, ca = _decoder_layer_step(
+                        params["a_decoder"][i], xa, t, a_caches[i], a_kv[i], cfg, cross_mask)
+                    new_v.append(cv)
+                    new_a.append(ca)
+                logp = self._fused_logp_1(params, xv, xa)[:, 0]     # [B, V]
+                nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+                return (nxt, new_v, new_a), nxt
+
+            prev0 = jnp.full((B,), SOS_ID, dtype=jnp.int32)
+            _, toks = jax.lax.scan(
+                step, (prev0, empty_caches(), empty_caches()), jnp.arange(L - 1)
+            )
+            tokens0 = jnp.full((B, 1), SOS_ID, dtype=jnp.int32)
+            return jnp.concatenate([tokens0, toks.T], axis=1)   # [B, L]
         if mode != "beam":
             raise ValueError(f"mode must be 'direct' or 'beam', got {mode}")
 

@@ -101,3 +101,31 @@ def test_trains_with_shared_loss(rng):
     # one SGD step reduces the loss
     params2 = jax.tree.map(lambda p, g: p - 0.05 * g, params, grads)
     assert float(loss_of(params2)) < l0
+
+
+def test_incremental_greedy_matches_full_prefix(rng):
+    """The KV-cached incremental greedy decode must produce the exact tokens
+    of a full-prefix re-decode at every step (ROADMAP #6)."""
+    import jax.numpy as jnp
+
+    from mvc_tpu.config import SOS_ID
+
+    model, params, audio, visual, _ = _setup(rng)
+    mask = np.ones(audio.shape[:2], bool)
+    mask[1, 2:] = False
+    mask = jnp.asarray(mask)
+    L = 7
+
+    tokens = np.asarray(model.predict_tokens(
+        params, audio, visual, max_caption_len=L, mode="direct", feat_mask=mask))
+
+    # full-prefix oracle: re-decode the whole token matrix per step
+    a_mem, v_mem, cross_mask = model._encode(params, audio, visual, mask)
+    B = visual.shape[0]
+    full = np.full((B, L), SOS_ID, dtype=np.int32)
+    for t in range(1, L):
+        logp = np.asarray(model._decode_logits(
+            params, jnp.asarray(full), a_mem, v_mem, cross_mask))
+        full[:, t] = logp[:, t - 1].argmax(-1)
+
+    np.testing.assert_array_equal(tokens, full)

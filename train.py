@@ -65,6 +65,12 @@ def main():
     parser.add_argument("--tp", default=1, type=int, help="tensor-parallel mesh axis")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--device_feature_cache", action="store_true",
+                        help="keep all clip features resident in HBM; per-step H2D "
+                             "is caption ids + row indices only (datasets that fit)")
+    parser.add_argument("--meteor_synonyms", default=None,
+                        help="path to a synonym table (one whitespace-separated group "
+                             "per line) enabling METEOR's stage-3 matcher")
     args = parser.parse_args()
 
     import jax
@@ -125,6 +131,8 @@ def main():
         cfg.visual_recon_lambda = exp["loss"]["visual_recon_lambda"]
         cfg.seed = args.seed
         cfg.compute_dtype = args.dtype
+        cfg.device_feature_cache = args.device_feature_cache
+        cfg.meteor_synonyms = args.meteor_synonyms
         video_only = exp.get("video_only", False)
 
         loader_kwargs = dict(
