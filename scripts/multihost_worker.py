@@ -48,6 +48,17 @@ def main() -> None:
     else:
         import jax
 
+    # Persistent compile cache: on a contended single-CPU host a cold compile
+    # can outlast the Gloo collective timeout of the peer process; a warm
+    # cache makes the step dispatch immediately.
+    try:
+        os.makedirs("/root/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
     from mvc_tpu.config import DecoderConfig, TrainerConfig
     from mvc_tpu.data import get_loader
     from mvc_tpu.models import AVCaptioningDual

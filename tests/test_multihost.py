@@ -104,8 +104,7 @@ def _single_process_expectation(root):
     return {"loss": float(loss), "grad_norm": float(gnorm), "param_norm": float(pnorm)}
 
 
-@pytest.mark.slow
-def test_two_process_global_batch_gradient_equivalence(synthetic_msvd):
+def _spawn_workers(synthetic_msvd):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -123,11 +122,24 @@ def test_two_process_global_batch_gradient_equivalence(synthetic_msvd):
         )
         for i in range(2)
     ]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, f"worker failed:\n{err}\n{out}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+    results = [p.communicate(timeout=600) for p in procs]
+    return procs, results
+
+
+@pytest.mark.slow
+def test_two_process_global_batch_gradient_equivalence(synthetic_msvd):
+    # Under full-suite load this single-CPU host can starve one worker past
+    # the other's collective timeout; the first attempt also warms the
+    # persistent compile cache, so retry once before declaring failure.
+    for attempt in range(2):
+        procs, results = _spawn_workers(synthetic_msvd)
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 0:
+            continue
+        for p, (out, err) in zip(procs, results):
+            assert p.returncode == 0, f"worker failed:\n{err}\n{out}"
+    outs = [json.loads(out.strip().splitlines()[-1]) for out, _ in results]
 
     by_pid = {o["process_index"]: o for o in outs}
     assert set(by_pid) == {0, 1}
