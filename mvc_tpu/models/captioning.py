@@ -223,6 +223,18 @@ class AVCaptioning:
 
         B = features.shape[0]
         cfg = self.decoder_config
+        from mvc_tpu.ops.dispatch import use_pallas
+
+        if use_pallas() and cfg.rnn_type == "LSTM":
+            # Fused whole-search kernel (ops/pallas_beam.py): token-id parity
+            # with the scan path is asserted in tests/test_pallas.py.
+            from mvc_tpu.ops.pallas_beam import beam_decode_pallas
+
+            return beam_decode_pallas(
+                [params["decoder"]], [features], feat_mask=feat_mask,
+                max_caption_len=max_caption_len, beam_width=beam_width,
+                beam_alpha=beam_alpha, weight_dtype=jnp.dtype(self.dtype).name,
+            )
         feats = features.astype(self.dtype)
         keys = attn.precompute_keys(params["decoder"]["attention"], feats)
 
@@ -380,6 +392,24 @@ class AVCaptioningDual:
 
         # Joint fused-logit beam — a working implementation of the path the
         # reference leaves as FIXME (src/models/captioning.py:269-277).
+        from mvc_tpu.ops.dispatch import use_pallas
+
+        if (
+            use_pallas()
+            and self.v_config.rnn_type == "LSTM"
+            and self.a_config.rnn_type == "LSTM"
+            and self.v_config.attn_size == self.a_config.attn_size
+        ):
+            # Fused whole-search kernel over both decoders' summed log-probs
+            # (ops/pallas_beam.py); parity asserted in tests/test_pallas.py.
+            from mvc_tpu.ops.pallas_beam import beam_decode_pallas
+
+            return beam_decode_pallas(
+                [params["v_decoder"], params["a_decoder"]], [visual, audio],
+                feat_mask=feat_mask, max_caption_len=max_caption_len,
+                beam_width=beam_width, beam_alpha=beam_alpha,
+                weight_dtype=jnp.dtype(self.dtype).name,
+            )
         B = visual.shape[0]
         v_feats = visual.astype(self.dtype)
         a_feats = audio.astype(self.dtype)

@@ -1,0 +1,537 @@
+"""Fused whole-sentence BEAM-SEARCH decode as ONE Pallas TPU kernel.
+
+The XLA beam path (models/beam.py + decoder_beam_step) is a lax.scan whose
+per-step dependency chain — embed, attend, LSTM, vocab projection, top-k,
+regather — leaves the chip latency-bound at the headline shape (B=64, W=5,
+T=16, L=30, V=4000: ~5.6 ms/call while the weight traffic alone is ~1 ms of
+HBM time).  Like ops/pallas_decode.py for greedy, this kernel runs the
+ENTIRE beam search in one pallas_call:
+
+- rows are beam-flattened ``[B*W, ...]``; per-clip tensors (features, keys,
+  frame mask) are stored once per clip and broadcast to beam rows with
+  one-hot matmuls built from iota comparisons (no gathers)
+- small state (features, attention keys, h/c for every decoder, cumulative
+  scores, finished flags, token history) stays in VMEM for all L steps
+- the big matrices stream from HBM double-buffered: the embedding tables
+  (both decoders' tables concatenated on the feature axis — the joint beam
+  feeds ONE token to both decoders), the fused input+recurrent gate weights
+  ``[wi; wh]`` per decoder, and the vocab projections ``wout``
+- beam scoring is computed tile-by-tile over the vocabulary: a streaming
+  per-decoder logsumexp (for log-softmax) plus a streaming per-row top-W of
+  the FUSED logits — the ``[B, W, V]`` log-prob tensor is never materialized.
+  Within a row, ranking by fused logits equals ranking by
+  ``cum + Σ_d log_softmax_d`` (the row's lse/cum shift is constant), so the
+  candidate set is exact
+- the cross-beam top-W (reference GNMT length normalization, EOS masking,
+  tie-break by flattened ``w*V + token`` index — models/beam.py semantics,
+  themselves replicating reference src/models/features_captioning.py:131-228)
+  runs on W*W=25 candidates per clip, moved between row- and clip-space with
+  iota-built selection matmuls
+- beam regather of h/c/history is a one-hot permutation matmul on the MXU
+- the step loop is a ``lax.fori_loop`` (the body is already hundreds of ops;
+  full unrolling would only slow compilation), with all HBM tile offsets
+  static inside the body
+
+Token-id parity with the XLA beam path is asserted in tests/test_pallas.py
+(f32 weights, interpret mode) for single and dual decoders, masked and
+unmasked, alpha 0 and alpha>0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mvc_tpu.config import EOS_ID, SOS_ID
+
+NEG_INF = -1e9      # matches models/beam.py NEG_INF (dead-beam init score)
+BOTTOM = -3.0e38    # streaming-max sentinel (finite: keeps arithmetic NaN-free)
+BIG_IDX = 1.0e9     # tie-break sentinel index
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _beam_kernel(
+    *refs,
+    dims,            # per-decoder tuples (F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v)
+    B, T, W, V, L,
+    alpha,
+    n_e, TVe, Ecat_p,
+    Tc, CR,
+    sos_id, eos_id,
+):
+    n_dec = len(dims)
+    BW = B * W
+    f32 = jnp.float32
+
+    # ---- ref parsing (order fixed by the wrapper) ----
+    nin = 6 + 7 * n_dec
+    (mask_ref, row_clip_ref, row_beam_ref, col_clip_ref, col_beam_ref,
+     featcol_clip_ref) = refs[:6]
+    dec_refs = [refs[6 + 7 * d: 6 + 7 * (d + 1)] for d in range(n_dec)]
+    emb_hbm = refs[nin]
+    wih_hbm = [refs[nin + 1 + 2 * d] for d in range(n_dec)]
+    wout_hbm = [refs[nin + 2 + 2 * d] for d in range(n_dec)]
+    hist_ref = refs[nin + 1 + 2 * n_dec]
+    scr = refs[nin + 2 + 2 * n_dec:]
+    emb_buf, emb_sem = scr[0], scr[1]
+    wih_buf = [scr[2 + 4 * d] for d in range(n_dec)]
+    wout_buf = [scr[3 + 4 * d] for d in range(n_dec)]
+    wih_sem = [scr[4 + 4 * d] for d in range(n_dec)]
+    wout_sem = [scr[5 + 4 * d] for d in range(n_dec)]
+    wdtype = emb_buf.dtype
+
+    def emb_dma(slot, j):
+        return pltpu.make_async_copy(emb_hbm.at[j], emb_buf.at[slot], emb_sem.at[slot])
+
+    def wih_dma(d, slot, j):
+        return pltpu.make_async_copy(wih_hbm[d].at[j], wih_buf[d].at[slot], wih_sem[d].at[slot])
+
+    def wout_dma(d, slot, j):
+        return pltpu.make_async_copy(wout_hbm[d].at[j], wout_buf[d].at[slot], wout_sem[d].at[slot])
+
+    # ---- step-invariant selection matrices (iota-built, no gathers) ----
+    row_clip = row_clip_ref[:]            # [BW, 1] f32: r // W
+    row_beam = row_beam_ref[:]            # [BW, 1] f32: r %  W
+    col_clip = col_clip_ref[:]            # [1, BW]
+    col_beam = col_beam_ref[:]            # [1, BW]
+
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (BW, B), 1).astype(f32)
+    prep_f = (row_clip == iota_b).astype(f32)          # [BW, B] row r <- clip r//W
+    prep_w = prep_f.astype(wdtype)
+    mask_rows = jnp.dot(prep_f, mask_ref[:], preferred_element_type=f32)  # [BW, T]
+
+    iota_bw = jax.lax.broadcasted_iota(jnp.int32, (B, BW), 0).astype(f32)
+    pick = [  # pick[k][b, r] selects row (b, k): candidate gather to clip-space
+        ((col_clip == iota_bw) * (col_beam == float(k))).astype(f32)
+        for k in range(W)
+    ]
+
+    n_fc = T // Tc
+    n_cc = (B * T) // CR
+    kk = CR // T
+
+    def step(t, carry):
+        prev, hs, cs, cum, fin, eoslen, hist = carry
+        hs, cs = list(hs), list(cs)
+
+        # ---- 1. embedding of prev token from streamed emb_cat tiles ----
+        acc = jnp.zeros((BW, Ecat_p), f32)
+        for j in range(n_e):
+            slot, nxt = j % 2, (j + 1) % 2
+            if j + 1 < n_e:
+                emb_dma(nxt, j + 1).start()
+            emb_dma(slot, j).wait()
+            iot = jax.lax.broadcasted_iota(jnp.int32, (BW, TVe), 1).astype(f32) + float(j * TVe)
+            onehot = (iot == prev).astype(wdtype)
+            acc = acc + jnp.dot(onehot, emb_buf[slot], preferred_element_type=f32)
+
+        # ---- 2. per-decoder attention + step input x ----
+        xs = []
+        for d in range(n_dec):
+            F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v = dims[d]
+            feats_ref, keys_ref, wblk_ref, attn_w_ref, attn_b_ref, _, _ = dec_refs[d]
+            h = hs[d]
+
+            q = jnp.dot(h.astype(wdtype), attn_w_ref[:],
+                        preferred_element_type=f32) + attn_b_ref[:]      # [BW, A]
+            e_chunks = []
+            for c in range(n_fc):
+                krows = jnp.dot(
+                    prep_w, keys_ref[:, c * Tc * A:(c + 1) * Tc * A],
+                    preferred_element_type=f32,
+                )                                                        # [BW, Tc*A]
+                qrep = jnp.concatenate([q] * Tc, axis=1)
+                e_all = jnp.tanh(qrep + krows)
+                wblk_c = wblk_ref[c * Tc * A:(c + 1) * Tc * A, c * Tc:(c + 1) * Tc]
+                e_chunks.append(jnp.dot(e_all.astype(wdtype), wblk_c,
+                                        preferred_element_type=f32))
+            energies = jnp.concatenate(e_chunks, axis=1)                 # [BW, T]
+
+            neg = jnp.float32(-1e30)
+            energies = jnp.where(mask_rows > 0, energies, neg)
+            m = jnp.max(energies, axis=1, keepdims=True)
+            m = jnp.where(m > neg / 2, m, 0.0)
+            unnorm = jnp.where(mask_rows > 0, jnp.exp(energies - m), 0.0)
+            denom = jnp.maximum(jnp.sum(unnorm, axis=1, keepdims=True), 1e-30)
+            weights = unnorm / denom                                     # [BW, T] f32
+
+            wrep = jnp.concatenate([weights] * kk, axis=1)               # [BW, CR]
+            context = jnp.zeros((BW, F), f32)
+            for c in range(n_cc):
+                blk = (featcol_clip_ref[:, c * CR:(c + 1) * CR] == row_clip).astype(f32)
+                wbd = (wrep * blk).astype(wdtype)                        # [BW, CR]
+                context = context + jnp.dot(
+                    wbd, feats_ref[c * CR:(c + 1) * CR, :], preferred_element_type=f32
+                )
+
+            embedded = acc[:, Eoff:Eoff + E]
+            parts = [context.astype(wdtype), embedded.astype(wdtype), h.astype(wdtype)]
+            pad = Kp - (F + E + H)
+            if pad:
+                parts.append(jnp.zeros((BW, pad), wdtype))
+            xs.append(jnp.concatenate(parts, axis=1))                    # [BW, Kp]
+
+        # ---- 3. LSTM gates from streamed [wi; wh] tiles (torch order i,f,g,o) ----
+        for d in range(n_dec):
+            F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v = dims[d]
+            b_gates_ref = dec_refs[d][5]
+            x, c_state = xs[d], cs[d]
+            tpg = H // TG
+            i_parts, g_parts = [None] * tpg, [None] * tpg
+            c_parts = [c_state[:, k * TG:(k + 1) * TG] for k in range(tpg)]
+            h_parts = [None] * tpg
+            for j in range(n_g):
+                slot, nxt = j % 2, (j + 1) % 2
+                if j + 1 < n_g:
+                    wih_dma(d, nxt, j + 1).start()
+                else:
+                    wout_dma(d, 0, 0).start()
+                wih_dma(d, slot, j).wait()
+                col = j * TG
+                gv = (
+                    jnp.dot(x, wih_buf[d][slot], preferred_element_type=f32)
+                    + b_gates_ref[:, col:col + TG]
+                )                                                        # [BW, TG]
+                gate_id, k = col // H, (col % H) // TG
+                if gate_id == 0:
+                    i_parts[k] = jax.nn.sigmoid(gv)
+                elif gate_id == 1:
+                    c_parts[k] = jax.nn.sigmoid(gv) * c_parts[k]
+                elif gate_id == 2:
+                    g_parts[k] = jnp.tanh(gv)
+                else:
+                    c_parts[k] = c_parts[k] + i_parts[k] * g_parts[k]
+                    h_parts[k] = jax.nn.sigmoid(gv) * jnp.tanh(c_parts[k])
+            cs[d] = jnp.concatenate(c_parts, axis=1)
+            hs[d] = jnp.concatenate(h_parts, axis=1)
+
+        # ---- 4. fused vocab scoring: streaming lse per decoder + top-W ----
+        run_vals = jnp.full((BW, W), BOTTOM, f32)
+        run_tok = jnp.full((BW, W), BIG_IDX, f32)
+        m_lse = [jnp.full((BW, 1), BOTTOM, f32) for _ in range(n_dec)]
+        s_lse = [jnp.zeros((BW, 1), f32) for _ in range(n_dec)]
+        h_wd = [hs[d].astype(wdtype) for d in range(n_dec)]
+        n_v = dims[0][9]
+        TV = dims[0][8]
+        for j in range(n_v):
+            slot, nxt = j % 2, (j + 1) % 2
+            for d in range(n_dec):
+                if j + 1 < n_v:
+                    wout_dma(d, nxt, j + 1).start()
+                else:
+                    wih_dma(d, 0, 0).start()       # next step's first gate tile
+                    if d == 0:
+                        emb_dma(0, 0).start()      # next step's first emb tile
+                wout_dma(d, slot, j).wait()
+            fused = jnp.zeros((BW, TV), f32)
+            for d in range(n_dec):
+                b_out_ref = dec_refs[d][6]
+                logits = (
+                    jnp.dot(h_wd[d], wout_buf[d][slot], preferred_element_type=f32)
+                    + b_out_ref[:, j * TV:(j + 1) * TV]
+                )                                                        # [BW, TV]
+                mloc = jnp.max(logits, axis=1, keepdims=True)
+                mnew = jnp.maximum(m_lse[d], mloc)
+                s_lse[d] = (
+                    s_lse[d] * jnp.exp(m_lse[d] - mnew)
+                    + jnp.sum(jnp.exp(logits - mnew), axis=1, keepdims=True)
+                )
+                m_lse[d] = mnew
+                fused = fused + logits
+            tokio = jax.lax.broadcasted_iota(jnp.int32, (BW, TV), 1).astype(f32) + float(j * TV)
+            cvals = jnp.concatenate([run_vals, fused], axis=1)
+            cidx = jnp.concatenate([run_tok, tokio], axis=1)
+            nv_, nt_ = [], []
+            for _ in range(W):
+                mm = jnp.max(cvals, axis=1, keepdims=True)
+                sel = jnp.min(jnp.where(cvals == mm, cidx, BIG_IDX), axis=1, keepdims=True)
+                nv_.append(mm)
+                nt_.append(sel)
+                cvals = jnp.where(cidx == sel, BOTTOM, cvals)
+            run_vals = jnp.concatenate(nv_, axis=1)
+            run_tok = jnp.concatenate(nt_, axis=1)
+
+        # ---- 5. beam bookkeeping (models/beam.py step semantics) ----
+        lse = m_lse[0] + jnp.log(s_lse[0])
+        for d in range(1, n_dec):
+            lse = lse + m_lse[d] + jnp.log(s_lse[d])
+        logp5 = run_vals - lse                                           # [BW, W]
+        cand5 = jnp.where(fin > 0, cum, cum + logp5)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (BW, W), 1).astype(f32)
+        tok5 = jnp.where(fin > 0, iota_w, run_tok)
+        tplus = (t + 1).astype(f32)
+        if alpha:
+            lens = jnp.where(fin > 0, eoslen, tplus)
+            normv = jnp.exp(alpha * jnp.log(5.0 + lens)) * float(6.0 ** -alpha)
+            cand5n = cand5 / normv
+        else:
+            cand5n = cand5
+        gidx5 = row_beam * float(V) + tok5                               # flat w*V+tok
+
+        gmat = jnp.concatenate([cand5n, cand5, tok5, gidx5], axis=1)     # [BW, 4W]
+        parts = [jnp.dot(pick[k], gmat, preferred_element_type=f32) for k in range(W)]
+        vals25 = jnp.concatenate([p[:, 0 * W:1 * W] for p in parts], axis=1)  # [B, W*W]
+        cand25 = jnp.concatenate([p[:, 1 * W:2 * W] for p in parts], axis=1)
+        tok25 = jnp.concatenate([p[:, 2 * W:3 * W] for p in parts], axis=1)
+        gidx25 = jnp.concatenate([p[:, 3 * W:4 * W] for p in parts], axis=1)
+
+        sel_rows = []                                                    # per k: [B, 3]
+        for _ in range(W):
+            mm = jnp.max(vals25, axis=1, keepdims=True)
+            sg = jnp.min(jnp.where(vals25 == mm, gidx25, BIG_IDX), axis=1, keepdims=True)
+            match = gidx25 == sg
+            tk = jnp.sum(jnp.where(match, tok25, 0.0), axis=1, keepdims=True)
+            uc = jnp.sum(jnp.where(match, cand25, 0.0), axis=1, keepdims=True)
+            # sg - tk == w*V exactly, but XLA strength-reduces /V into
+            # *(1/V) whose product can land half-an-ulp off an integer
+            # (w=3, V=4000: 12000*fl(1/4000) rounds to 3+2^-22) — and the
+            # permutation's equality match below needs exact integers.
+            wf = jnp.floor((sg - tk) / float(V) + 0.5)
+            sel_rows.append(jnp.concatenate([tk, wf, uc], axis=1))
+            vals25 = jnp.where(match, BOTTOM, vals25)
+
+        scat = jnp.zeros((BW, 3), f32)
+        for k in range(W):
+            e = jnp.dot(prep_f, sel_rows[k], preferred_element_type=f32)  # [BW, 3]
+            scat = scat + e * (row_beam == float(k)).astype(f32)
+        newtok = scat[:, 0:1]
+        wsel = scat[:, 1:2]
+        newcum = scat[:, 2:3]
+
+        perm = ((col_clip == row_clip).astype(f32)
+                * (col_beam == wsel).astype(f32))                        # [BW, BW]
+        for d in range(n_dec):
+            hs[d] = jnp.dot(perm, hs[d], preferred_element_type=f32)
+            cs[d] = jnp.dot(perm, cs[d], preferred_element_type=f32)
+        hist_r = jnp.dot(perm, hist, preferred_element_type=f32)
+        fin_r = jnp.dot(perm, fin, preferred_element_type=f32)
+        eos_r = jnp.dot(perm, eoslen, preferred_element_type=f32)
+
+        iseos = (newtok == float(eos_id)).astype(f32)
+        fin_new = jnp.maximum(fin_r, iseos)
+        eos_new = jnp.where(fin_r > 0, eos_r, jnp.where(iseos > 0, tplus, 0.0))
+        lcol = jax.lax.broadcasted_iota(jnp.int32, (BW, L), 1)
+        hist_new = jnp.where(lcol == t, newtok, hist_r)
+
+        return (newtok, tuple(hs), tuple(cs), newcum, fin_new, eos_new, hist_new)
+
+    # ---- init + warm-up + loop + drain ----
+    emb_dma(0, 0).start()
+    for d in range(n_dec):
+        wih_dma(d, 0, 0).start()
+
+    prev0 = jnp.full((BW, 1), float(sos_id), f32)
+    hs0 = tuple(jnp.zeros((BW, dims[d][1]), f32) for d in range(n_dec))
+    cs0 = tuple(jnp.zeros((BW, dims[d][1]), f32) for d in range(n_dec))
+    cum0 = jnp.where(row_beam == 0.0, jnp.float32(0.0), jnp.float32(NEG_INF))
+    fin0 = jnp.zeros((BW, 1), f32)
+    eos0 = jnp.zeros((BW, 1), f32)
+    hist0 = jnp.zeros((BW, L), f32)
+
+    carry = jax.lax.fori_loop(
+        0, L, step, (prev0, hs0, cs0, cum0, fin0, eos0, hist0)
+    )
+    hist_ref[:] = carry[6]
+
+    emb_dma(0, 0).wait()                    # drain the final step's prefetches
+    for d in range(n_dec):
+        wih_dma(d, 0, 0).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_caption_len", "beam_width", "beam_alpha", "tile_g", "tile_v",
+        "weight_dtype", "interpret", "vmem_limit_mb",
+    ),
+)
+def beam_decode_pallas(
+    decoder_params: Sequence[dict],           # 1 (single) or 2 (dual) decoders
+    feats_list: Sequence[jnp.ndarray],        # matching [B, T, F_d] features
+    feat_mask: Optional[jnp.ndarray] = None,  # [B, T] bool
+    max_caption_len: int = 30,
+    beam_width: int = 5,
+    beam_alpha: float = 0.0,
+    tile_g: int = 256,
+    tile_v: int = 512,
+    weight_dtype: str = "bfloat16",
+    interpret: bool = False,
+    vmem_limit_mb: int = 40,
+) -> jnp.ndarray:
+    """Fused beam search over joint (summed) decoder log-probs -> token ids
+    ``[B, max_caption_len + 2]`` beginning with SOS — the same contract as
+    ``models.beam.beam_search`` driving ``decoder_beam_step``.
+
+    ``decoder_params`` is a list of ``init_decoder`` trees (LSTM only); the
+    dual model passes ``[v_decoder, a_decoder]`` with ``[visual, audio]``
+    features.  Weights stream as ``weight_dtype`` tiles (bf16 perf path, f32
+    for parity tests); all state and scoring accumulate in f32.
+    """
+    n_dec = len(decoder_params)
+    assert n_dec == len(feats_list) and n_dec >= 1
+    B, T, _ = feats_list[0].shape
+    W = int(beam_width)
+    BW = B * W
+    L = int(max_caption_len) + 1              # scan steps (models/beam.py Lh)
+    wd = jnp.dtype(weight_dtype)
+    f32 = jnp.float32
+
+    V = decoder_params[0]["embedding"]["table"].shape[0]
+    TV = min(int(tile_v), _round_up(V, 128))
+    Vp = _round_up(V, TV)
+    n_v = Vp // TV
+    TVe = TV
+    n_e = Vp // TVe
+
+    # --- shared aux index arrays (host-built: no vector int div in-kernel) ---
+    r = np.arange(BW)
+    row_clip = jnp.asarray((r // W).astype(np.float32)[:, None])
+    row_beam = jnp.asarray((r % W).astype(np.float32)[:, None])
+    col_clip = jnp.asarray((r // W).astype(np.float32)[None, :])
+    col_beam = jnp.asarray((r % W).astype(np.float32)[None, :])
+    featcol_clip = jnp.asarray((np.arange(B * T) // T).astype(np.float32)[None, :])
+    mask = (
+        feat_mask.astype(f32) if feat_mask is not None
+        else jnp.ones((B, T), f32)
+    )
+
+    # --- chunk factors (attention energies / context) ---
+    A0 = decoder_params[0]["attention"]["W"].shape[1]
+    Tc = max(1, min(T, 1024 // max(A0, 1)))
+    while T % Tc:
+        Tc -= 1
+    kk = max(1, min(B, 256 // max(T, 1)))
+    while B % kk:
+        kk -= 1
+    CR = kk * T
+
+    # --- per-decoder packed operands ---
+    dims = []
+    vmem_ins = [mask, row_clip, row_beam, col_clip, col_beam, featcol_clip]
+    hbm_ins = []
+    scratch = [None, pltpu.SemaphoreType.DMA((2,))]   # emb buf placeholder + sem
+    emb_blocks = []
+    eoff = 0
+    for d, (params, feats) in enumerate(zip(decoder_params, feats_list)):
+        emb = params["embedding"]["table"]
+        assert emb.shape[0] == V, "all decoders must share the vocabulary"
+        E = emb.shape[1]
+        wi, wh = params["rnn"]["wi"], params["rnn"]["wh"]
+        K1, H4 = wi.shape
+        H = H4 // 4
+        F = feats.shape[2]
+        ap = params["attention"]
+        A = ap["W"].shape[1]
+        assert A == A0, "attention bottleneck must match across decoders"
+
+        TG = int(tile_g)
+        if H % TG or TG > H:
+            TG = H
+        n_g = H4 // TG
+        Kp = _round_up(F + E + H, 256)
+
+        feats_h = feats.astype(wd)
+        keys = (feats_h @ ap["U"].astype(wd)).reshape(B, T * A).astype(wd)
+        w_vec = ap["w"].astype(wd)
+        wblk = jnp.zeros((T * A, T), wd)
+        for tt in range(T):
+            wblk = wblk.at[tt * A:(tt + 1) * A, tt].set(w_vec)
+
+        # x layout [context | embedded | h]; decoder x = [embedded, context]
+        wih = jnp.concatenate([wi[E:], wi[:E], wh], axis=0).astype(wd)
+        wih_p = jnp.zeros((Kp, H4), wd).at[: F + E + H].set(wih)
+        wih_tiles = wih_p.reshape(Kp, n_g, TG).transpose(1, 0, 2)
+
+        wout = params["out"]["w"]
+        wout_p = jnp.zeros((H, Vp), wd).at[:, :V].set(wout.astype(wd))
+        wout_tiles = wout_p.reshape(H, n_v, TV).transpose(1, 0, 2)
+        b_out = jnp.full((1, Vp), -1e30, f32).at[0, :V].set(
+            params["out"]["b"].astype(f32)
+        )
+        b_gates = (params["rnn"]["bi"] + params["rnn"]["bh"]).astype(f32).reshape(1, H4)
+
+        vmem_ins += [
+            feats_h.reshape(B * T, F),
+            keys,
+            wblk,
+            ap["W"].astype(wd),
+            ap["b"].astype(f32).reshape(1, A),
+            b_gates,
+            b_out,
+        ]
+        hbm_ins += [wih_tiles, wout_tiles]
+        scratch += [
+            pltpu.VMEM((2, Kp, TG), wd),
+            pltpu.VMEM((2, H, TV), wd),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        emb_blocks.append((emb, E))
+        dims.append((F, H, A, E, eoff, Kp, TG, n_g, TV, n_v))
+        eoff += E
+
+    # --- concatenated embedding tables, tiled over vocab rows ---
+    ecat = sum(E for _, E in emb_blocks)
+    ecat_p = _round_up(ecat, 128)
+    emb_cat = jnp.zeros((Vp, ecat_p), wd)
+    off = 0
+    for emb, E in emb_blocks:
+        emb_cat = emb_cat.at[:V, off:off + E].set(emb.astype(wd))
+        off += E
+    emb_tiles = emb_cat.reshape(n_e, TVe, ecat_p)
+    scratch[0] = pltpu.VMEM((2, TVe, ecat_p), wd)
+
+    kernel = functools.partial(
+        _beam_kernel,
+        dims=tuple(dims), B=B, T=T, W=W, V=V, L=L,
+        alpha=float(beam_alpha), n_e=n_e, TVe=TVe, Ecat_p=ecat_p,
+        Tc=Tc, CR=CR, sos_id=SOS_ID, eos_id=EOS_ID,
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    kwargs = {}
+    if not interpret:
+        cp_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+            pltpu, "TPUCompilerParams", None
+        )
+        if cp_cls is not None:
+            kwargs["compiler_params"] = cp_cls(
+                vmem_limit_bytes=int(vmem_limit_mb) << 20
+            )
+
+    flops_step = sum(
+        2 * BW * (Kp * H4q + H * Vp) + 2 * BW * BW * H
+        for (F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v), H4q in
+        [(dd, 4 * dd[1]) for dd in dims]
+    )
+    hist = pl.pallas_call(
+        kernel,
+        in_specs=[vspec] * len(vmem_ins) + [hspec] * (1 + len(hbm_ins)),
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((BW, L), f32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=L * flops_step,
+            bytes_accessed=L * (
+                sum(dd[5] * dd[6] * dd[7] + dd[1] * Vp for dd in dims)
+                + Vp * ecat_p
+            ) * wd.itemsize,
+            transcendentals=L * BW * sum(4 * dd[1] + T * dd[2] for dd in dims),
+        ),
+        **kwargs,
+    )(*vmem_ins, emb_tiles, *hbm_ins)
+
+    tokens = hist.reshape(B, W, L)[:, 0].astype(jnp.int32)               # beam 0
+    sos = jnp.full((B, 1), SOS_ID, jnp.int32)
+    return jnp.concatenate([sos, tokens], axis=1)                        # [B, L+1]

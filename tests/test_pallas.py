@@ -98,3 +98,84 @@ def test_pallas_fused_greedy_decode_matches_xla(rng):
         weight_dtype="float32", interpret=True,
     ))
     np.testing.assert_array_equal(tok2, np.asarray(dec.greedy_tokens(out2)))
+
+
+def test_pallas_fused_beam_single_decoder_matches_xla(rng):
+    """Whole-search fused beam kernel (ops/pallas_beam.py) must produce the
+    exact token ids of the XLA scan beam (f32 weights, interpret mode)."""
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import beam as beam_mod
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.models.captioning import _beam_init_state
+    from mvc_tpu.ops.pallas_beam import beam_decode_pallas
+
+    cfg = DecoderConfig(in_feature_size=24, rnn_hidden_size=16, embedding_size=8,
+                        attn_size=8, output_size=31)
+    params = dec.init_decoder(jax.random.PRNGKey(1), cfg)
+    B, T, L, W = 3, 4, 9, 3
+    feats = jnp.asarray(rng.normal(size=(B, T, 24)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[2, 2:] = False
+    mask = jnp.asarray(mask)
+    keys = __import__("mvc_tpu.models.attention", fromlist=["precompute_keys"]).precompute_keys(
+        params["attention"], feats
+    )
+
+    def step_fn(prev, state):
+        return dec.decoder_beam_step(params, cfg, prev, state, feats, keys, mask, jnp.float32)
+
+    init_state = _beam_init_state(cfg.rnn_type, B, W, cfg.rnn_hidden_size, jnp.float32)
+    ref = np.asarray(beam_mod.beam_search(
+        step_fn, init_state, B, 31, max_caption_len=L, beam_alpha=0.0, beam_width=W,
+    ))
+    tok = np.asarray(beam_decode_pallas(
+        [params], [feats], feat_mask=mask, max_caption_len=L, beam_width=W,
+        beam_alpha=0.0, weight_dtype="float32", interpret=True,
+    ))
+    np.testing.assert_array_equal(tok, ref)
+
+
+def test_pallas_fused_beam_dual_matches_xla(rng):
+    """Dual-decoder (summed log-probs) fused beam, masked, alpha 0 and >0."""
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import attention as attn
+    from mvc_tpu.models import beam as beam_mod
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.models.captioning import _beam_init_state
+    from mvc_tpu.ops.pallas_beam import beam_decode_pallas
+
+    vcfg = DecoderConfig(in_feature_size=24, rnn_hidden_size=16, embedding_size=8,
+                         attn_size=8, output_size=29)
+    acfg = DecoderConfig(in_feature_size=12, rnn_hidden_size=16, embedding_size=10,
+                         attn_size=8, output_size=29)
+    vp = dec.init_decoder(jax.random.PRNGKey(1), vcfg)
+    ap = dec.init_decoder(jax.random.PRNGKey(2), acfg)
+    B, T, L, W = 4, 6, 11, 4
+    vfeats = jnp.asarray(rng.normal(size=(B, T, 24)).astype(np.float32))
+    afeats = jnp.asarray(rng.normal(size=(B, T, 12)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 4:] = False
+    mask[3, 2:] = False
+    mask = jnp.asarray(mask)
+    vkeys = attn.precompute_keys(vp["attention"], vfeats)
+    akeys = attn.precompute_keys(ap["attention"], afeats)
+
+    for alpha in (0.0, 0.7):
+        def step_fn(prev, state):
+            vs, as_ = state
+            vlp, vnew = dec.decoder_beam_step(vp, vcfg, prev, vs, vfeats, vkeys, mask, jnp.float32)
+            alp, anew = dec.decoder_beam_step(ap, acfg, prev, as_, afeats, akeys, mask, jnp.float32)
+            return vlp + alp, (vnew, anew)
+
+        init_state = (
+            _beam_init_state("LSTM", B, W, 16, jnp.float32),
+            _beam_init_state("LSTM", B, W, 16, jnp.float32),
+        )
+        ref = np.asarray(beam_mod.beam_search(
+            step_fn, init_state, B, 29, max_caption_len=L, beam_alpha=alpha, beam_width=W,
+        ))
+        tok = np.asarray(beam_decode_pallas(
+            [vp, ap], [vfeats, afeats], feat_mask=mask, max_caption_len=L,
+            beam_width=W, beam_alpha=alpha, weight_dtype="float32", interpret=True,
+        ))
+        np.testing.assert_array_equal(tok, ref)
