@@ -51,19 +51,33 @@ def bench_ours() -> float:
     audio = jnp.asarray(gen.normal(size=(B, T, 128)).astype(np.float32))
     visual = jnp.asarray(gen.normal(size=(B, T, 2048)).astype(np.float32))
 
-    predict = jax.jit(
+    from mvc_tpu.ops.pallas_beam import beam_decode_pallas
+
+    xla_beam = jax.jit(
         lambda p, a, v: model.predict_tokens(
             p, a, v, max_caption_len=MAX_LEN, mode="beam", beam_width=WIDTH
         )
     )
-    np.asarray(predict(params, audio, visual))   # compile + hard sync
-    iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = predict(params, audio, visual)
-    np.asarray(out)                              # device_get = hard sync
-    dt = time.perf_counter() - t0
-    return B * iters / dt
+    # Fused whole-search Pallas kernel (ops/pallas_beam.py) — the production
+    # MVC_PALLAS=1 path; token parity vs the scan is asserted in
+    # tests/test_pallas.py, perf study in BENCH_NOTES.md.
+    pallas_beam = jax.jit(
+        lambda p, a, v: beam_decode_pallas(
+            [p["v_decoder"], p["a_decoder"]], [v, a],
+            max_caption_len=MAX_LEN, beam_width=WIDTH,
+            weight_dtype="bfloat16",
+        )
+    )
+
+    def rate(predict, iters=50):
+        np.asarray(predict(params, audio, visual))   # compile + hard sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = predict(params, audio, visual)
+        np.asarray(out)                              # device_get = hard sync
+        return B * iters / (time.perf_counter() - t0)
+
+    return max(rate(xla_beam), rate(pallas_beam))
 
 
 def bench_reference_baseline() -> float:
