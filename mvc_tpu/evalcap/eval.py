@@ -48,10 +48,14 @@ class COCOEvalCap:
     (reference pycocoevalcap/eval.py)."""
 
     def __init__(self, gts: Dict[str, List[str]], res: Dict[str, List[str]],
-                 meteor_synonyms=None):
+                 meteor_synonyms=None, spice_lexicon=None, spice_synonyms=None):
         self._gts_raw = gts
         self._res_raw = res
         self._meteor_synonyms = meteor_synonyms
+        # SPICE is opt-in via a POS lexicon — the reference keeps it commented
+        # out of its harness (pycocoevalcap/eval.py:44); see evalcap/spice.py.
+        self._spice_lexicon = spice_lexicon
+        self._spice_synonyms = spice_synonyms
         self.eval: Dict[str, float] = {}
         self.imgToEval: Dict[str, Dict[str, float]] = {}
 
@@ -70,6 +74,13 @@ class COCOEvalCap:
             (Rouge(), "ROUGE_L"),
             (Cider(), "CIDEr"),
         ]
+        if self._spice_lexicon is not None:
+            from mvc_tpu.evalcap.spice import Spice
+
+            scorers.append(
+                (Spice(lexicon=self._spice_lexicon,
+                       synonyms=self._spice_synonyms), "SPICE")
+            )
         ids = sorted(gts.keys())
         for scorer, method in scorers:
             score, scores = scorer.compute_score(gts, res)
@@ -81,5 +92,7 @@ class COCOEvalCap:
             else:
                 self.eval[method] = score
                 for img, v in zip(ids, scores):
+                    if isinstance(v, dict):      # SPICE: per-image category dict
+                        v = v["All"]["f"]
                     self.imgToEval.setdefault(img, {})[method] = float(v)
         return self.eval

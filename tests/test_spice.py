@@ -1,0 +1,183 @@
+"""SPICE engine tests: lexicon-driven scene-graph extraction, tuple F1 with
+synonym matching, and the reference wrapper contract
+(reference pycocoevalcap/spice/spice.py:27-94 — vendored but never run there;
+its jar is a missing blob and the scorer is commented out of eval.py:44)."""
+
+import numpy as np
+import pytest
+
+from mvc_tpu.evalcap.spice import (
+    PosLexicon, Spice, parse_scene_graph, score_tuples,
+)
+from mvc_tpu.evalcap.meteor import SynonymTable
+
+LEX = PosLexicon({
+    "man": (("noun",), "man"),
+    "men": (("noun",), "man"),
+    "woman": (("noun",), "woman"),
+    "guitar": (("noun",), "guitar"),
+    "dog": (("noun",), "dog"),
+    "ball": (("noun",), "ball"),
+    "soccer": (("noun",), "soccer"),
+    "stage": (("noun",), "stage"),
+    "park": (("noun",), "park"),
+    "playing": (("verb",), "play"),
+    "plays": (("verb",), "play"),
+    "riding": (("verb",), "ride"),
+    "running": (("verb",), "run"),
+    "kicking": (("verb",), "kick"),
+    "sitting": (("verb",), "sit"),
+    "red": (("adj",), "red"),
+    "big": (("adj",), "big"),
+    "large": (("adj",), "large"),
+    "happy": (("adj",), "happy"),
+    "quickly": (("adv",), "quickly"),
+    # ambiguous: "cooking" is a verb after aux/noun, noun after det
+    "cooking": (("verb", "noun"), "cook"),
+})
+
+
+def test_objects_attributes_relations():
+    g = parse_scene_graph("a man is playing a guitar on stage", LEX)
+    assert ("man",) in g and ("guitar",) in g and ("stage",) in g
+    assert ("man", "play", "guitar") in g
+    assert ("man", "on", "stage") in g
+
+
+def test_adjective_and_num_attributes():
+    g = parse_scene_graph("two happy men riding a big red ball", LEX)
+    assert ("man", "two") in g and ("man", "happy") in g
+    assert ("ball", "big") in g and ("ball", "red") in g
+    assert ("man", "ride", "ball") in g
+
+
+def test_copula_adjective_is_subject_attribute():
+    g = parse_scene_graph("the dog is happy", LEX)
+    assert ("dog", "happy") in g
+    # copula produces no relation tuple
+    assert not any(len(t) == 3 for t in g)
+
+
+def test_noun_noun_compound_modifier():
+    g = parse_scene_graph("a man kicking a soccer ball", LEX)
+    assert ("ball",) in g and ("ball", "soccer") in g
+    assert ("man", "kick", "ball") in g
+
+
+def test_lemmatization_folds_inflections():
+    g1 = parse_scene_graph("a man plays a guitar", LEX)
+    g2 = parse_scene_graph("men playing a guitar", LEX)
+    assert ("man", "play", "guitar") in g1
+    assert ("man", "play", "guitar") in g2
+
+
+def test_adverbs_skipped_in_verb_group():
+    g = parse_scene_graph("a dog running quickly in the park", LEX)
+    assert ("dog", "in", "park") in g
+
+
+def test_ambiguous_pos_disambiguation():
+    # after aux -> verb reading; after det -> noun reading
+    g1 = parse_scene_graph("a man is cooking", LEX)
+    assert ("man",) in g1 and not any(t == ("cook",) for t in g1)
+    g2 = parse_scene_graph("the cooking is happy", LEX)  # contrived nominal
+    assert ("cook",) in g2
+
+
+def test_score_tuples_hand_computed():
+    cand = {("man",), ("guitar",), ("man", "play", "guitar")}
+    refs = [{("man",), ("guitar",), ("stage",), ("man", "play", "guitar"),
+             ("man", "on", "stage")}]
+    s = score_tuples(cand, refs)
+    # matched 3 of 3 candidate tuples; 3 of 5 reference tuples
+    assert s["All"]["pr"] == pytest.approx(1.0)
+    assert s["All"]["re"] == pytest.approx(3 / 5)
+    assert s["All"]["f"] == pytest.approx(2 * 1.0 * 0.6 / 1.6)
+    assert s["Object"]["pr"] == pytest.approx(1.0)
+    assert s["Object"]["re"] == pytest.approx(2 / 3)
+    assert s["Relation"]["re"] == pytest.approx(1 / 2)
+    assert s["Attribute"]["f"] == 0.0            # none on either side
+
+
+def test_reference_union_semantics():
+    cand = {("dog",)}
+    refs = [{("man",)}, {("dog",)}]              # union covers the candidate
+    s = score_tuples(cand, refs)
+    assert s["All"]["pr"] == 1.0
+    assert s["All"]["re"] == pytest.approx(1 / 2)
+
+
+def test_synonym_matching_changes_score():
+    cand = {("puppy",), ("puppy", "large")}
+    refs = [{("dog",), ("dog", "big")}]
+    plain = score_tuples(cand, refs)
+    assert plain["All"]["f"] == 0.0
+    syn = SynonymTable([["puppy", "dog"], ["large", "big"]])
+    with_syn = score_tuples(cand, refs, syn)
+    assert with_syn["All"]["f"] == pytest.approx(1.0)
+
+
+def test_wrapper_contract_and_gate(tmp_path):
+    gts = {
+        "vid1": ["a man is playing a guitar on stage",
+                 "a man plays a guitar"],
+        "vid2": ["a dog running quickly in the park"],
+    }
+    res = {
+        "vid1": ["a man is playing a guitar"],
+        "vid2": ["a dog sitting in the park"],
+    }
+    # no lexicon -> raises with a clear message (reference-observable behavior)
+    with pytest.raises(NotImplementedError):
+        Spice().compute_score(gts, res)
+
+    scorer = Spice(lexicon=LEX)
+    avg, scores = scorer.compute_score(gts, res)
+    assert scorer.method() == "SPICE"
+    assert len(scores) == 2
+    fs = [s["All"]["f"] for s in scores]
+    assert avg == pytest.approx(float(np.mean(fs)))
+    for s in scores:
+        for cat in ("All", "Object", "Attribute", "Relation"):
+            assert set(s[cat]) == {"f", "pr", "re"}
+    # vid1 candidate is a subset of ref-union content: perfect precision
+    assert scores[0]["All"]["pr"] == pytest.approx(1.0)
+    assert 0.0 < scores[0]["All"]["f"] <= 1.0
+
+
+def test_lexicon_file_roundtrip(tmp_path):
+    p = tmp_path / "lex.txt"
+    p.write_text(
+        "# comment\n"
+        "man noun\n"
+        "plays verb play\n"
+        "guitar noun\n"
+        "cooking verb,noun cook\n"
+    )
+    lex = PosLexicon.load(str(p))
+    assert lex.lookup("plays") == (("verb",), "play")
+    assert lex.lookup("cooking") == (("verb", "noun"), "cook")
+    assert lex.lookup("unknownword") == (("noun",), "unknownword")
+    g = parse_scene_graph("a man plays a guitar", lex)
+    assert ("man", "play", "guitar") in g
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("word notapos\n")
+    with pytest.raises(ValueError):
+        PosLexicon.load(str(bad))
+
+
+def test_cocoevalcap_with_spice():
+    from mvc_tpu.evalcap.eval import COCOEvalCap
+
+    gts = {"v1": ["A man is playing a guitar on stage."],
+           "v2": ["A dog running in the park."]}
+    res = {"v1": ["A man is playing a guitar."],
+           "v2": ["A dog sitting in the park."]}
+    coco = COCOEvalCap(gts, res, spice_lexicon=LEX)
+    out = coco.evaluate()
+    assert "SPICE" in out and 0.0 < out["SPICE"] <= 1.0
+    assert all("SPICE" in v for v in coco.imgToEval.values())
+    # default harness stays SPICE-free (reference pycocoevalcap/eval.py:44)
+    coco2 = COCOEvalCap(gts, res)
+    assert "SPICE" not in coco2.evaluate()
