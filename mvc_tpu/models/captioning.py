@@ -370,6 +370,22 @@ class AVCaptioningDual:
         if mode == "direct":
             # Each decoder free-runs on its own argmax, then the fused
             # log-probs are argmaxed (reference src/models/captioning.py:279-288).
+            from mvc_tpu.ops.dispatch import use_pallas
+
+            if (
+                use_pallas()
+                and self.v_config.rnn_type == "LSTM"
+                and self.a_config.rnn_type == "LSTM"
+            ):
+                # Whole-decode fused dual kernel (ops/pallas_dual_greedy.py);
+                # parity asserted in tests/test_pallas.py.
+                from mvc_tpu.ops.pallas_dual_greedy import dual_greedy_decode_pallas
+
+                return dual_greedy_decode_pallas(
+                    [params["v_decoder"], params["a_decoder"]], [visual, audio],
+                    feat_mask=feat_mask, max_caption_len=max_caption_len,
+                    weight_dtype=jnp.dtype(self.dtype).name,
+                )
             if self.fused_scan:
                 v_outputs, _, a_outputs, _ = dual_decode_fused(
                     params["v_decoder"], params["a_decoder"], self.v_config, self.a_config,

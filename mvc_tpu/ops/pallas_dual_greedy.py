@@ -1,0 +1,331 @@
+"""Fused whole-sentence DUAL-decoder greedy decode as ONE Pallas TPU kernel.
+
+The dual model's direct mode (reference src/models/captioning.py:279-288)
+free-runs each decoder on its OWN per-step argmax while the reported token
+stream argmaxes the FUSED (summed) log-probs — so a width-1 beam does NOT
+match (the beam would feed the joint token back into both decoders).  The
+XLA path is models/captioning.py `dual_decode_fused` + `greedy_tokens(v+a)`;
+this kernel runs the whole thing in one pallas_call, extending
+ops/pallas_decode.py to two decoders:
+
+- per decoder, small state stays in VMEM for all L steps (features, attention
+  keys, embedding table, ``wh``, biases); ``wi`` and ``wout`` stream from HBM
+  as double-buffered tiles
+- both decoders share the vocab tiling, so each vocab tile yields both
+  decoders' logits at once; three running (max, argmax) streams are kept —
+  one per decoder (its greedy feed: argmax(logits_d) == argmax(logp_d),
+  log-softmax is monotone) and one for the fused stream
+  (argmax(l_v + l_a) == argmax(logp_v + logp_a): the per-row lse shift is
+  constant)
+- all loops are fully unrolled (static offsets), like the single kernel
+
+Exact token parity vs the XLA dual direct path is asserted in
+tests/test_pallas.py (f32 weights, interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
+    """dims: per-decoder (F, H, A, E, Kp, TG, n_g)."""
+    n_dec = len(dims)
+    f32 = jnp.float32
+
+    # ---- ref parsing (wrapper order) ----
+    mask_ref = refs[0]
+    dec_refs = [refs[1 + 9 * d: 1 + 9 * (d + 1)] for d in range(n_dec)]
+    nin = 1 + 9 * n_dec
+    wi_hbm = [refs[nin + 2 * d] for d in range(n_dec)]
+    wout_hbm = [refs[nin + 2 * d + 1] for d in range(n_dec)]
+    tokens_ref = refs[nin + 2 * n_dec]
+    scr = refs[nin + 2 * n_dec + 1:]
+    wi_buf = [scr[4 * d] for d in range(n_dec)]
+    wout_buf = [scr[4 * d + 1] for d in range(n_dec)]
+    wi_sem = [scr[4 * d + 2] for d in range(n_dec)]
+    wout_sem = [scr[4 * d + 3] for d in range(n_dec)]
+    wdtype = wi_buf[0].dtype
+
+    def wi_dma(d, slot, j):
+        return pltpu.make_async_copy(wi_hbm[d].at[j], wi_buf[d].at[slot], wi_sem[d].at[slot])
+
+    def wout_dma(d, slot, j):
+        return pltpu.make_async_copy(wout_hbm[d].at[j], wout_buf[d].at[slot], wout_sem[d].at[slot])
+
+    hs = [jnp.zeros((B, dims[d][1]), f32) for d in range(n_dec)]
+    cs = [jnp.zeros((B, dims[d][1]), f32) for d in range(n_dec)]
+    prevs = [jnp.full((B, 1), sos_id, jnp.int32) for _ in range(n_dec)]
+    mask = mask_ref[:]
+
+    for d in range(n_dec):
+        wi_dma(d, 0, 0).start()            # warm up both gate streams
+
+    for t in range(L):
+        xs = []
+        for d in range(n_dec):
+            F, H, A, E, Kp, TG, n_g = dims[d]
+            (feats_ref, keys2_ref, wblk_ref, emb_ref, attn_w_ref,
+             attn_b_ref, _, b_gates_ref, b_out_ref) = dec_refs[d]
+            Vp = emb_ref.shape[0]
+
+            # ---- 1. embedding of THIS decoder's own previous token
+            iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+            onehot = (iota_v == prevs[d]).astype(wdtype)
+            embedded = jnp.dot(onehot, emb_ref[:], preferred_element_type=f32)
+
+            # ---- 2. additive attention (same scheme as ops/pallas_decode.py)
+            q = jnp.dot(hs[d].astype(wdtype), attn_w_ref[:],
+                        preferred_element_type=f32) + attn_b_ref[:]
+            qrep = jnp.concatenate([q] * T, axis=1)
+            e_all = jnp.tanh(qrep + keys2_ref[:].astype(f32))
+            energies = jnp.dot(e_all.astype(wdtype), wblk_ref[:],
+                               preferred_element_type=f32)       # [B, T]
+            neg = jnp.float32(-1e30)
+            energies = jnp.where(mask > 0, energies, neg)
+            m = jnp.max(energies, axis=1, keepdims=True)
+            m = jnp.where(m > neg / 2, m, 0.0)
+            unnorm = jnp.where(mask > 0, jnp.exp(energies - m), 0.0)
+            denom = jnp.maximum(jnp.sum(unnorm, axis=1, keepdims=True), 1e-30)
+            weights = unnorm / denom
+
+            context = jnp.zeros((B, F), f32)
+            for tt in range(T):
+                context = context + weights[:, tt:tt + 1] * feats_ref[tt].astype(f32)
+
+            parts = [context.astype(wdtype), embedded.astype(wdtype)]
+            pad = Kp - (F + E)
+            if pad:
+                parts.append(jnp.zeros((B, pad), wdtype))
+            xs.append(jnp.concatenate(parts, axis=1))            # [B, Kp]
+
+        # ---- 3. gates per decoder from its double-buffered wi stream
+        for d in range(n_dec):
+            F, H, A, E, Kp, TG, n_g = dims[d]
+            wh_ref, b_gates_ref = dec_refs[d][6], dec_refs[d][7]
+            x, h_prev = xs[d], hs[d].astype(wdtype)
+            tpg = H // TG
+            i_parts, g_parts = [None] * tpg, [None] * tpg
+            c_parts = [cs[d][:, k * TG:(k + 1) * TG] for k in range(tpg)]
+            h_parts = [None] * tpg
+            for j in range(n_g):
+                slot, nxt = j % 2, (j + 1) % 2
+                if j + 1 < n_g:
+                    wi_dma(d, nxt, j + 1).start()
+                else:
+                    wout_dma(d, 0, 0).start()
+                wi_dma(d, slot, j).wait()
+                col = j * TG
+                gv = (
+                    jnp.dot(x, wi_buf[d][slot], preferred_element_type=f32)
+                    + jnp.dot(h_prev, wh_ref[:, col:col + TG],
+                              preferred_element_type=f32)
+                    + b_gates_ref[:, col:col + TG]
+                )
+                gate_id, k = col // H, (col % H) // TG
+                if gate_id == 0:
+                    i_parts[k] = jax.nn.sigmoid(gv)
+                elif gate_id == 1:
+                    c_parts[k] = jax.nn.sigmoid(gv) * c_parts[k]
+                elif gate_id == 2:
+                    g_parts[k] = jnp.tanh(gv)
+                else:
+                    c_parts[k] = c_parts[k] + i_parts[k] * g_parts[k]
+                    h_parts[k] = jax.nn.sigmoid(gv) * jnp.tanh(c_parts[k])
+            cs[d] = jnp.concatenate(c_parts, axis=1)
+            hs[d] = jnp.concatenate(h_parts, axis=1)
+
+        # ---- 4. shared-tiling vocab projection: per-decoder AND fused
+        # running (max, argmax) — three streams, one pass over the tiles
+        own_val = [jnp.full((B, 1), -jnp.inf, f32) for _ in range(n_dec)]
+        own_idx = [jnp.zeros((B, 1), jnp.int32) for _ in range(n_dec)]
+        fus_val = jnp.full((B, 1), -jnp.inf, f32)
+        fus_idx = jnp.zeros((B, 1), jnp.int32)
+        h_wd = [hs[d].astype(wdtype) for d in range(n_dec)]
+        for j in range(n_v):
+            slot, nxt = j % 2, (j + 1) % 2
+            for d in range(n_dec):
+                if j + 1 < n_v:
+                    wout_dma(d, nxt, j + 1).start()
+                elif t + 1 < L:
+                    wi_dma(d, 0, 0).start()        # next step's gate stream
+                wout_dma(d, slot, j).wait()
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (B, TV), 1) + j * TV
+            fused = jnp.zeros((B, TV), f32)
+            for d in range(n_dec):
+                b_out_ref = dec_refs[d][8]
+                logits = (
+                    jnp.dot(h_wd[d], wout_buf[d][slot], preferred_element_type=f32)
+                    + b_out_ref[:, j * TV:(j + 1) * TV]
+                )
+                fused = fused + logits
+                loc_max = jnp.max(logits, axis=1, keepdims=True)
+                loc_arg = jnp.min(
+                    jnp.where(logits == loc_max, iota_t, jnp.int32(2**30)),
+                    axis=1, keepdims=True,
+                )
+                better = loc_max > own_val[d]      # lowest-index tie-break
+                own_idx[d] = jnp.where(better, loc_arg, own_idx[d])
+                own_val[d] = jnp.where(better, loc_max, own_val[d])
+            loc_max = jnp.max(fused, axis=1, keepdims=True)
+            loc_arg = jnp.min(
+                jnp.where(fused == loc_max, iota_t, jnp.int32(2**30)),
+                axis=1, keepdims=True,
+            )
+            better = loc_max > fus_val
+            fus_idx = jnp.where(better, loc_arg, fus_idx)
+            fus_val = jnp.where(better, loc_max, fus_val)
+
+        prevs = own_idx
+        tokens_ref[:, t:t + 1] = fus_idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_caption_len", "sos_id", "tile_g", "tile_v", "weight_dtype",
+        "interpret", "vmem_limit_mb",
+    ),
+)
+def dual_greedy_decode_pallas(
+    decoder_params: Sequence[dict],            # [v_decoder, a_decoder]
+    feats_list: Sequence[jnp.ndarray],         # [[B,T,Fv], [B,T,Fa]]
+    feat_mask: Optional[jnp.ndarray] = None,   # [B, T] bool
+    max_caption_len: int = 30,
+    sos_id: int = 1,
+    tile_g: int = 256,
+    tile_v: int = 512,
+    weight_dtype: str = "bfloat16",
+    interpret: bool = False,
+    vmem_limit_mb: int = 48,
+) -> jnp.ndarray:
+    """Fused dual-direct greedy -> tokens [B, max_caption_len], matching
+    ``greedy_tokens(v_outputs + a_outputs)`` where each decoder free-runs on
+    its own argmax (models/captioning.py AVCaptioningDual direct mode,
+    replicating reference src/models/captioning.py:279-288).  Column 0 is
+    the zero-row argmax (= 0), columns 1.. are the decode steps."""
+    n_dec = len(decoder_params)
+    assert n_dec == len(feats_list) and n_dec >= 1
+    B, T, _ = feats_list[0].shape
+    wd = jnp.dtype(weight_dtype)
+    f32 = jnp.float32
+
+    V = decoder_params[0]["embedding"]["table"].shape[0]
+    TV = min(int(tile_v), _round_up(V, 128))
+    Vp = _round_up(V, TV)
+    n_v = Vp // TV
+
+    L = int(max_caption_len) - 1
+    assert L >= 1, "max_caption_len must be >= 2"
+
+    mask = (
+        feat_mask.astype(f32) if feat_mask is not None
+        else jnp.ones((B, T), f32)
+    )
+
+    dims = []
+    vmem_ins = [mask]
+    hbm_ins = []
+    scratch = []
+    for params, feats in zip(decoder_params, feats_list):
+        emb = params["embedding"]["table"]
+        assert emb.shape[0] == V, "decoders must share the vocabulary"
+        E = emb.shape[1]
+        wi, wh = params["rnn"]["wi"], params["rnn"]["wh"]
+        K1, H4 = wi.shape
+        H = H4 // 4
+        F = feats.shape[2]
+        ap = params["attention"]
+        A = ap["W"].shape[1]
+
+        TG = int(tile_g)
+        if H % TG or TG > H:
+            TG = H
+        n_g = H4 // TG
+        Kp = _round_up(K1, 256)
+
+        feats_h = feats.astype(wd)
+        keys2 = (feats_h @ ap["U"].astype(wd)).reshape(B, T * A).astype(wd)
+        w_vec = ap["w"].astype(wd)
+        wblk = jnp.zeros((T * A, T), wd)
+        for tt in range(T):
+            wblk = wblk.at[tt * A:(tt + 1) * A, tt].set(w_vec)
+
+        emb_p = jnp.zeros((Vp, E), wd).at[:V].set(emb.astype(wd))
+        wi_x = jnp.concatenate([wi[E:], wi[:E]], axis=0).astype(wd)
+        wi_p = jnp.zeros((Kp, H4), wd).at[:K1].set(wi_x)
+        wi_tiles = wi_p.reshape(Kp, n_g, TG).transpose(1, 0, 2)
+        wout_p = jnp.zeros((H, Vp), wd).at[:, :V].set(params["out"]["w"].astype(wd))
+        wout_tiles = wout_p.reshape(H, n_v, TV).transpose(1, 0, 2)
+        b_out = jnp.full((1, Vp), -1e30, f32).at[0, :V].set(
+            params["out"]["b"].astype(f32)
+        )
+        b_gates = (params["rnn"]["bi"] + params["rnn"]["bh"]).astype(f32).reshape(1, H4)
+
+        vmem_ins += [
+            feats_h.transpose(1, 0, 2),          # [T, B, F] time-major
+            keys2,
+            wblk,
+            emb_p,
+            ap["W"].astype(wd),
+            ap["b"].astype(f32).reshape(1, A),
+            wh.astype(wd),
+            b_gates,
+            b_out,
+        ]
+        hbm_ins += [wi_tiles, wout_tiles]
+        scratch += [
+            pltpu.VMEM((2, Kp, TG), wd),
+            pltpu.VMEM((2, H, TV), wd),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        dims.append((F, H, A, E, Kp, TG, n_g))
+
+    kernel = functools.partial(
+        _dual_kernel, dims=tuple(dims), B=B, T=T, L=L,
+        n_v=n_v, TV=TV, sos_id=sos_id,
+    )
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    kwargs = {}
+    if not interpret:
+        cp_cls = getattr(pltpu, "CompilerParams", None) or getattr(
+            pltpu, "TPUCompilerParams", None
+        )
+        if cp_cls is not None:
+            kwargs["compiler_params"] = cp_cls(
+                vmem_limit_bytes=int(vmem_limit_mb) << 20
+            )
+
+    tokens = pl.pallas_call(
+        kernel,
+        in_specs=[vspec] * len(vmem_ins) + [hspec] * len(hbm_ins),
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((B, L), jnp.int32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * B * sum(
+                Kp * 4 * H + H * 4 * H + H * Vp + Vp * E + T * A
+                for (F, H, A, E, Kp, TG, n_g) in dims
+            ),
+            bytes_accessed=L * sum(
+                (Kp * TG * n_g + H * Vp) for (F, H, A, E, Kp, TG, n_g) in dims
+            ) * wd.itemsize,
+            transcendentals=L * B * sum(4 * dd[1] + T * dd[2] for dd in dims),
+        ),
+        **kwargs,
+    )(*vmem_ins, *hbm_ins)
+    return jnp.concatenate([jnp.zeros((B, 1), jnp.int32), tokens], axis=1)

@@ -18,8 +18,25 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite is dominated by CPU XLA compiles, which
-# are identical across runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+# are identical across runs.  The dir is keyed by host CPU identity + jaxlib
+# version: cached XLA:CPU AOT executables are machine-code for the compiling
+# host, and loading one compiled on a different machine can SIGILL/abort
+# (observed as a mid-suite "Fatal Python error: Aborted" when the repo — and
+# its cache — outlived the machine it was built on).
+import hashlib
+import platform
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu = next((l for l in _f if l.startswith("flags")), platform.machine())
+except OSError:
+    _cpu = platform.machine()
+import jaxlib
+
+_host_key = hashlib.sha1(
+    (_cpu + jaxlib.__version__).encode()
+).hexdigest()[:10]
+_cache_dir = os.path.join(os.path.dirname(__file__), f".jax_test_cache-{_host_key}")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)

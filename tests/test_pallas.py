@@ -179,3 +179,40 @@ def test_pallas_fused_beam_dual_matches_xla(rng):
             beam_width=W, beam_alpha=alpha, weight_dtype="float32", interpret=True,
         ))
         np.testing.assert_array_equal(tok, ref)
+
+
+def test_pallas_fused_dual_greedy_matches_xla(rng):
+    """Whole-decode fused dual-direct kernel (ops/pallas_dual_greedy.py):
+    each decoder free-runs on its own argmax, the output stream argmaxes the
+    fused log-probs — exact token parity vs the XLA dual path."""
+    import jax.numpy as jnp
+
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.models.captioning import dual_decode_fused
+    from mvc_tpu.ops.pallas_dual_greedy import dual_greedy_decode_pallas
+
+    vcfg = DecoderConfig(in_feature_size=24, rnn_hidden_size=16, embedding_size=8,
+                         attn_size=8, output_size=29)
+    acfg = DecoderConfig(in_feature_size=12, rnn_hidden_size=32, embedding_size=10,
+                         attn_size=16, output_size=29)
+    vp = dec.init_decoder(jax.random.PRNGKey(3), vcfg)
+    ap = dec.init_decoder(jax.random.PRNGKey(4), acfg)
+    B, T, L = 5, 4, 9
+    vfeats = jnp.asarray(rng.normal(size=(B, T, 24)).astype(np.float32))
+    afeats = jnp.asarray(rng.normal(size=(B, T, 12)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[2, 3:] = False
+    mask = jnp.asarray(mask)
+
+    v_out, _, a_out, _ = dual_decode_fused(
+        vp, ap, vcfg, acfg, vfeats, afeats, captions=None,
+        teacher_forcing_ratio=0.0, rng=None, feat_mask=mask,
+        dtype=jnp.float32, max_caption_len=L,
+    )
+    ref = np.asarray(dec.greedy_tokens(v_out + a_out))
+    tok = np.asarray(dual_greedy_decode_pallas(
+        [vp, ap], [vfeats, afeats], feat_mask=mask, max_caption_len=L,
+        weight_dtype="float32", interpret=True,
+    ))
+    np.testing.assert_array_equal(tok, ref)
