@@ -164,9 +164,12 @@ def _decoder_layer_step(p, x_t, t, cache, mem_kv, cfg, cross_mask):
     precomputed cross K/V.  x_t: [B, 1, D]; cache: {"k","v"} [B, Lh, D];
     returns (x_t', cache')."""
     h = _layernorm(p["ln1"], x_t)
+    cdt = cache["k"].dtype        # keep the cache dtype under bf16 models
     cache = {
-        "k": jax.lax.dynamic_update_slice_in_dim(cache["k"], _proj(p["self"]["k"], h), t, 1),
-        "v": jax.lax.dynamic_update_slice_in_dim(cache["v"], _proj(p["self"]["v"], h), t, 1),
+        "k": jax.lax.dynamic_update_slice_in_dim(
+            cache["k"], _proj(p["self"]["k"], h).astype(cdt), t, 1),
+        "v": jax.lax.dynamic_update_slice_in_dim(
+            cache["v"], _proj(p["self"]["v"], h).astype(cdt), t, 1),
     }
     Lh = cache["k"].shape[1]
     self_mask = (jnp.arange(Lh) <= t)[None, None, None, :]
@@ -325,23 +328,48 @@ class TransformerCaptioning:
         if mode != "beam":
             raise ValueError(f"mode must be 'direct' or 'beam', got {mode}")
 
+        # KV-cached beam: O(L) per step like the greedy path.  Caches are
+        # [B, W, Lh, D] pytree leaves, so beam_search's regather permutes
+        # them across beams automatically.  Exact-token parity with the
+        # full-prefix formulation is asserted in tests/test_transformer.py.
         W = beam_width
-        a_rep = jnp.repeat(a_mem, W, axis=0)
-        v_rep = jnp.repeat(v_mem, W, axis=0)
+        BW = B * W
+        D = cfg.d_model
+        Lh = max_caption_len + 1                   # beam_search step count
+        a_kv, v_kv = self._cross_kv(params, a_mem, v_mem)
+        a_kv = jax.tree.map(lambda x: jnp.repeat(x, W, axis=0), a_kv)
+        v_kv = jax.tree.map(lambda x: jnp.repeat(x, W, axis=0), v_kv)
         c_rep = jnp.repeat(cross_mask, W, axis=0) if cross_mask is not None else None
-        Lh = max_caption_len + 2
+
+        def empty_caches():
+            return [
+                {"k": jnp.zeros((B, W, Lh, D), self.dtype),
+                 "v": jnp.zeros((B, W, Lh, D), self.dtype)}
+                for _ in range(cfg.num_layers)
+            ]
 
         def step_fn(prev, state):
-            tokens, t = state                                  # [B, W, Lh], scalar
-            tokens = jax.lax.dynamic_update_index_in_dim(tokens, prev, t, 2)
-            flat = tokens.reshape(B * W, Lh)
-            logp = self._decode_logits(params, flat, a_rep, v_rep, c_rep)
-            logp_t = jax.lax.dynamic_index_in_dim(logp, t, axis=1, keepdims=False)
-            return logp_t.reshape(B, W, -1), (tokens, t + 1)
+            v_caches, a_caches, t = state
+            pe_t = jax.lax.dynamic_slice_in_dim(self._pe, t, 1, 0)
+            x_t = (params["embedding"]["table"][prev.reshape(BW)]
+                   .astype(self.dtype)[:, None, :] + pe_t)
+            xv, xa = x_t, x_t
+            new_v, new_a = [], []
+            for i in range(cfg.num_layers):
+                cv = jax.tree.map(lambda x: x.reshape(BW, Lh, D), v_caches[i])
+                ca = jax.tree.map(lambda x: x.reshape(BW, Lh, D), a_caches[i])
+                xv, cv = _decoder_layer_step(
+                    params["v_decoder"][i], xv, t, cv, v_kv[i], cfg, c_rep)
+                xa, ca = _decoder_layer_step(
+                    params["a_decoder"][i], xa, t, ca, a_kv[i], cfg, c_rep)
+                new_v.append(jax.tree.map(lambda x: x.reshape(B, W, Lh, D), cv))
+                new_a.append(jax.tree.map(lambda x: x.reshape(B, W, Lh, D), ca))
+            logp = self._fused_logp_1(params, xv, xa)[:, 0]     # [BW, V]
+            return logp.reshape(B, W, -1), (new_v, new_a, t + 1)
 
-        init_tokens = jnp.full((B, W, Lh), SOS_ID, dtype=jnp.int32)
         return beam_mod.beam_search(
-            step_fn, (init_tokens, jnp.asarray(0, jnp.int32)), B, self.vocab_size,
+            step_fn, (empty_caches(), empty_caches(), jnp.asarray(0, jnp.int32)),
+            B, self.vocab_size,
             max_caption_len=max_caption_len, beam_alpha=beam_alpha, beam_width=beam_width,
         )
 

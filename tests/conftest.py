@@ -12,7 +12,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU aborts the whole process ("Termination timeout ... exceeded.
+# Exiting to ensure a consistent program state", rendezvous.cc) when an
+# 8-virtual-device collective's participant threads starve past 40 s — easy
+# on this 1-core box whenever anything else competes for the CPU.  Raise the
+# rendezvous timeouts; these are DebugOptions parsed from XLA_FLAGS at first
+# backend init, so they must be set here, before jax imports.
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 

@@ -104,11 +104,20 @@ def test_dryrun_multichip_self_provisions():
     )
     env = dict(__import__("os").environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
+    # No device-count flag (the driver scenario being simulated) — but keep
+    # the collective rendezvous timeouts raised: the subprocess's 8-device
+    # all-reduce threads share this 1-core host with the parent suite, and
+    # XLA:CPU exits the process when a participant starves past the default
+    # 40 s (rendezvous.cc termination timeout).  The subprocess initializes
+    # jax BEFORE importing __graft_entry__, so the flags must come from env.
+    env["XLA_FLAGS"] = (
+        "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300 "
+        "--xla_cpu_collective_call_terminate_timeout_seconds=600"
+    )
     env["PYTHONPATH"] = "/root/repo"
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, cwd="/root/repo",
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=900,
     )
     assert out.returncode == 0, out.stderr
     assert "dryrun_multichip(8) OK" in out.stdout

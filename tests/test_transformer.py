@@ -129,3 +129,44 @@ def test_incremental_greedy_matches_full_prefix(rng):
         full[:, t] = logp[:, t - 1].argmax(-1)
 
     np.testing.assert_array_equal(tokens, full)
+
+
+def test_cached_beam_matches_full_prefix(rng):
+    """The KV-cached beam must produce the exact tokens of the full-prefix
+    beam formulation (the caches travel [B, W, Lh, D] through beam_search's
+    regather, so beam reordering must permute them correctly)."""
+    from mvc_tpu.models import beam as beam_mod
+
+    model, params, audio, visual, _ = _setup(rng, B=3, T=5)
+    mask = np.ones(audio.shape[:2], bool)
+    mask[2, 3:] = False
+    mask = jnp.asarray(mask)
+
+    for alpha, W, L in ((0.0, 3, 7), (0.7, 4, 6)):
+        tokens = np.asarray(model.predict_tokens(
+            params, audio, visual, max_caption_len=L, mode="beam",
+            beam_width=W, beam_alpha=alpha, feat_mask=mask))
+
+        # full-prefix oracle: the pre-cache step_fn (re-decode the whole
+        # token matrix each step, pick position t)
+        a_mem, v_mem, cross_mask = model._encode(params, audio, visual, mask)
+        B = visual.shape[0]
+        a_rep = jnp.repeat(a_mem, W, axis=0)
+        v_rep = jnp.repeat(v_mem, W, axis=0)
+        c_rep = jnp.repeat(cross_mask, W, axis=0)
+        Lh = L + 2
+
+        def step_fn(prev, state):
+            toks, t = state
+            toks = jax.lax.dynamic_update_index_in_dim(toks, prev, t, 2)
+            flat = toks.reshape(B * W, Lh)
+            logp = model._decode_logits(params, flat, a_rep, v_rep, c_rep)
+            logp_t = jax.lax.dynamic_index_in_dim(logp, t, axis=1, keepdims=False)
+            return logp_t.reshape(B, W, -1), (toks, t + 1)
+
+        init_tokens = jnp.full((B, W, Lh), SOS_ID, dtype=jnp.int32)
+        ref = np.asarray(beam_mod.beam_search(
+            step_fn, (init_tokens, jnp.asarray(0, jnp.int32)), B, V,
+            max_caption_len=L, beam_alpha=alpha, beam_width=W))
+
+        np.testing.assert_array_equal(tokens, ref)
