@@ -113,7 +113,38 @@ class PosLexicon:
             return _BUILTIN[w], w
         if w.isdigit():
             return ("num",), w
+        hit = self._morphy(w)
+        if hit is not None:
+            return hit
         return ("noun",), w                      # open-class default
+
+    # WordNet's documented Morphy detachment rules: strip an inflectional
+    # suffix, accept the candidate only if the resulting lemma is a known
+    # entry with the matching POS.  Irregular forms ("men", "ran") come from
+    # the *.exc files as explicit entries (scripts/build_wordnet_tables.py).
+    _DETACH = (
+        ("ies", "y", "noun"), ("ses", "s", "noun"), ("xes", "x", "noun"),
+        ("zes", "z", "noun"), ("ches", "ch", "noun"), ("shes", "sh", "noun"),
+        ("s", "", "noun"),
+        ("ies", "y", "verb"), ("es", "e", "verb"), ("es", "", "verb"),
+        ("ed", "e", "verb"), ("ed", "", "verb"),
+        ("ing", "e", "verb"), ("ing", "", "verb"), ("s", "", "verb"),
+        ("er", "", "adj"), ("er", "e", "adj"),
+        ("est", "", "adj"), ("est", "e", "adj"),
+    )
+
+    def _morphy(self, w: str) -> Optional[Tuple[Tuple[str, ...], str]]:
+        for suf, rep, pos in self._DETACH:
+            if not w.endswith(suf) or len(w) - len(suf) + len(rep) < 2:
+                continue
+            cand = w[: len(w) - len(suf)] + rep
+            hit = self.entries.get(cand)
+            if hit is None and cand[-1:] == cand[-2:-1]:      # doubled final
+                hit = self.entries.get(cand[:-1])             # ("running")
+                cand = cand[:-1] if hit is not None else cand
+            if hit is not None and pos in hit[0]:
+                return (pos,), hit[1]
+        return None
 
 
 def _tag(tokens: Sequence[str], lex: PosLexicon) -> List[Tuple[str, str, str]]:

@@ -54,24 +54,18 @@ def decoder_step(
     dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, object, jnp.ndarray]:
     """One word step (reference forward_word, src/models/features_captioning.py:77-89).
-    Returns (log_probs [B, V] float32, new_state, attn_weights [B, T])."""
-    from mvc_tpu.ops.dispatch import use_pallas
+    Returns (log_probs [B, V] float32, new_state, attn_weights [B, T]).
 
+    Always the XLA path: this step sits inside differentiated training scans,
+    and the per-step Pallas cells (ops/pallas_lstm.py, ops/pallas_attention.py)
+    neither support reverse-mode autodiff nor beat XLA at this granularity
+    (BENCH_NOTES.md round 1).  MVC_PALLAS routes the inference-only
+    whole-decode kernels in models/captioning.py instead."""
     embedded = params["embedding"]["table"][prev_tokens].astype(dtype)
     h = rnn.state_hidden(cfg.rnn_type, state)
-    if use_pallas():
-        from mvc_tpu.ops.pallas_attention import attend_pallas
-
-        context, weights = attend_pallas(params["attention"], h, feats, keys, mask=feat_mask)
-    else:
-        context, weights = attn.attend(params["attention"], h, feats, keys=keys, mask=feat_mask)
+    context, weights = attn.attend(params["attention"], h, feats, keys=keys, mask=feat_mask)
     x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
-    if use_pallas() and cfg.rnn_type == "LSTM":
-        from mvc_tpu.ops.pallas_lstm import lstm_cell_pallas
-
-        _, new_state = lstm_cell_pallas(params["rnn"], x, state)
-    else:
-        _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
+    _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
     h_new = rnn.state_hidden(cfg.rnn_type, new_state)
     logits = (h_new @ params["out"]["w"].astype(dtype) + params["out"]["b"].astype(dtype)).astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)

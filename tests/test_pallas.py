@@ -216,3 +216,21 @@ def test_pallas_fused_dual_greedy_matches_xla(rng):
         weight_dtype="float32", interpret=True,
     ))
     np.testing.assert_array_equal(tok, ref)
+
+
+def test_dispatch_enable_pallas_override():
+    """enable_pallas() beats the env var; both gate on a TPU backend (tests
+    run on CPU, so use_pallas stays False either way — the TPU-only guard)."""
+    import os
+
+    from mvc_tpu.ops import dispatch
+
+    try:
+        dispatch.enable_pallas(True)
+        assert dispatch.use_pallas() is False        # CPU backend: gated off
+        os.environ["MVC_PALLAS"] = "1"
+        dispatch.enable_pallas(False)
+        assert dispatch.use_pallas() is False        # override beats env var
+    finally:
+        os.environ.pop("MVC_PALLAS", None)
+        dispatch._override = None

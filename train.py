@@ -71,10 +71,19 @@ def main():
     parser.add_argument("--meteor_synonyms", default=None,
                         help="path to a synonym table (one whitespace-separated group "
                              "per line) enabling METEOR's stage-3 matcher")
+    parser.add_argument("--pallas", action="store_true",
+                        help="route decode/eval prediction through the fused Pallas "
+                             "kernels (TPU only; same as MVC_PALLAS=1 — token parity "
+                             "with the XLA path asserted in tests/test_pallas.py)")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.pallas:
+        from mvc_tpu.ops.dispatch import enable_pallas
+
+        enable_pallas(True)
 
     from mvc_tpu.config import TrainerConfig
     from mvc_tpu.data import Vocabulary, get_loader
