@@ -57,10 +57,10 @@ def decoder_step(
     Returns (log_probs [B, V] float32, new_state, attn_weights [B, T]).
 
     Always the XLA path: this step sits inside differentiated training scans,
-    and the per-step Pallas cells (ops/pallas_lstm.py, ops/pallas_attention.py)
-    neither support reverse-mode autodiff nor beat XLA at this granularity
-    (BENCH_NOTES.md round 1).  MVC_PALLAS routes the inference-only
-    whole-decode kernels in models/captioning.py instead."""
+    and per-step Pallas cells measured SLOWER than XLA at this granularity
+    (BENCH_NOTES.md round 1; the kernels were removed in round 2).
+    MVC_PALLAS routes the inference-only whole-decode kernels in
+    models/captioning.py instead."""
     embedded = params["embedding"]["table"][prev_tokens].astype(dtype)
     h = rnn.state_hidden(cfg.rnn_type, state)
     context, weights = attn.attend(params["attention"], h, feats, keys=keys, mask=feat_mask)

@@ -1,6 +1,6 @@
 """Fused whole-sentence greedy decode as ONE Pallas TPU kernel.
 
-Round-1 measured the per-step kernels (pallas_attention + pallas_lstm inside
+Round-1 measured per-step kernels (attention + LSTM cell inside
 a lax.scan) at 23.5k captions/s vs 29.6k for XLA at the headline decode shape
 (B=64, T=16, L=30, V=4000): per-step pallas_call overhead plus full weight
 re-reads per step lose to XLA's streaming fusion (BENCH_NOTES.md).  This is
