@@ -77,7 +77,12 @@ def bench_ours() -> float:
         np.asarray(out)                              # device_get = hard sync
         return B * iters / (time.perf_counter() - t0)
 
-    return max(rate(xla_beam), rate(pallas_beam))
+    best = rate(xla_beam)
+    try:
+        best = max(best, rate(pallas_beam))
+    except Exception as e:                           # pragma: no cover
+        print(f"pallas beam path failed ({e}); reporting XLA path", file=sys.stderr)
+    return best
 
 
 def bench_reference_baseline() -> float:

@@ -36,10 +36,17 @@ def main():
     ap.add_argument("--reconstructor", default="none", choices=["none", "local", "global"])
     ap.add_argument("--video_only", action="store_true")
     ap.add_argument("--out_dir", default=None)
+    ap.add_argument("--pallas", action="store_true",
+                    help="fused Pallas decode kernels (TPU only; same as MVC_PALLAS=1)")
     args = ap.parse_args()
 
     import jax
     import numpy as np
+
+    if args.pallas:
+        from mvc_tpu.ops.dispatch import enable_pallas
+
+        enable_pallas(True)
 
     from mvc_tpu.data import Vocabulary, get_loader, video_dataset_to_video_captions_loader
     from mvc_tpu.evalcap import NLPScore

@@ -71,6 +71,9 @@ def main():
     parser.add_argument("--meteor_synonyms", default=None,
                         help="path to a synonym table (one whitespace-separated group "
                              "per line) enabling METEOR's stage-3 matcher")
+    parser.add_argument("--eval_mode", default="direct", choices=["direct", "beam"],
+                        help="fit-time eval decoding (reference uses direct, "
+                             "src/train.py:323-325; beam uses width 5)")
     parser.add_argument("--pallas", action="store_true",
                         help="route decode/eval prediction through the fused Pallas "
                              "kernels (TPU only; same as MVC_PALLAS=1 — token parity "
@@ -142,6 +145,7 @@ def main():
         cfg.compute_dtype = args.dtype
         cfg.device_feature_cache = args.device_feature_cache
         cfg.meteor_synonyms = args.meteor_synonyms
+        cfg.eval_mode = args.eval_mode
         video_only = exp.get("video_only", False)
 
         loader_kwargs = dict(
