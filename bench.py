@@ -32,15 +32,9 @@ def bench_ours() -> float:
     import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: the axon remote-compile path can be very slow
-    # on a cold program; cache what we can locally.
-    try:
-        os.makedirs("/root/.jax_cache", exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    from mvc_tpu.utils.runtime import setup_compile_cache
+
+    setup_compile_cache()
 
     from mvc_tpu.models import AVCaptioningDual
 

@@ -89,24 +89,39 @@ void run_stage(const std::vector<std::string>& hyp_keys,
 
 // Synonym stage: per-word sets of synonym-group ids; a pair matches when the
 // sets intersect (mirrors meteor-1.5's WordNet synset-overlap test).
-std::vector<std::vector<int64_t>> list_to_id_sets(PyObject* list) {
-  std::vector<std::vector<int64_t>> out;
+// Returns false with a Python exception set on malformed input (non-sequence
+// inner element, non-int id) — the caller must check, not plough on: an
+// unchecked -1 from PySequence_Size would reserve(SIZE_MAX) and throw a C++
+// exception across the C API boundary (aborting the interpreter).
+bool list_to_id_sets(PyObject* list, std::vector<std::vector<int64_t>>& out) {
+  if (!PyList_Check(list)) {
+    PyErr_SetString(PyExc_TypeError, "synonym ids must be a list or None");
+    return false;
+  }
   Py_ssize_t n = PyList_Size(list);
   out.reserve(n);
   for (Py_ssize_t i = 0; i < n; ++i) {
     PyObject* inner = PyList_GetItem(list, i);  // borrowed
     std::vector<int64_t> ids;
     Py_ssize_t m = PySequence_Size(inner);
+    if (m < 0) {
+      PyErr_Format(PyExc_TypeError,
+                   "synonym id groups must be sequences (element %zd)", i);
+      return false;
+    }
     ids.reserve(m);
     for (Py_ssize_t j = 0; j < m; ++j) {
       PyObject* item = PySequence_GetItem(inner, j);  // new ref
-      ids.push_back(PyLong_AsLongLong(item));
+      if (item == nullptr) return false;
+      int64_t v = PyLong_AsLongLong(item);
       Py_DECREF(item);
+      if (v == -1 && PyErr_Occurred()) return false;
+      ids.push_back(v);
     }
     std::sort(ids.begin(), ids.end());
     out.push_back(std::move(ids));
   }
-  return out;
+  return true;
 }
 
 bool sorted_intersects(const std::vector<int64_t>& a,
@@ -167,9 +182,12 @@ PyObject* meteor_stats(PyObject*, PyObject* args) {
   run_stage(hyp, ref, hyp_used, ref_used, matches);
   run_stage(hyp_stems, ref_stems, hyp_used, ref_used, matches);
   if (hyp_syn_o != Py_None && ref_syn_o != Py_None) {
-    run_synonym_stage(list_to_id_sets(hyp_syn_o), list_to_id_sets(ref_syn_o),
-                      hyp_used, ref_used, matches);
-    if (PyErr_Occurred()) return nullptr;
+    std::vector<std::vector<int64_t>> hyp_ids, ref_ids;
+    if (!list_to_id_sets(hyp_syn_o, hyp_ids) ||
+        !list_to_id_sets(ref_syn_o, ref_ids)) {
+      return nullptr;
+    }
+    run_synonym_stage(hyp_ids, ref_ids, hyp_used, ref_used, matches);
   }
   std::sort(matches.begin(), matches.end(),
             [](const Match& a, const Match& b) {

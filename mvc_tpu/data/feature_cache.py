@@ -31,7 +31,8 @@ class DeviceFeatureCache:
     tensors on device.
     """
 
-    def __init__(self, dataset, dtype: str = "bfloat16", mesh=None):
+    def __init__(self, dataset, dtype: str = "bfloat16", mesh=None,
+                 frame_buckets=None):
         import jax
         import jax.numpy as jnp
 
@@ -45,15 +46,23 @@ class DeviceFeatureCache:
         ]
         lengths = np.array([a.shape[0] for a, _ in feats], dtype=np.int32)
         t_top = int(lengths.max()) if len(lengths) else 1
+        # Stack up to the frame BUCKET covering t_top, not t_top itself: the
+        # uncached collator pads to the bucket, and with the bug-compat
+        # mask_padded_features=False those extra zero frames are attended —
+        # the cached path must be able to serve the exact same tensors.
+        from mvc_tpu.data.dataset import _bucket
+
+        t_store = _bucket(t_top, frame_buckets) if frame_buckets else t_top
         a_dim = feats[0][0].shape[1]
         v_dim = feats[0][1].shape[1]
-        audio = np.zeros((len(feats), t_top, a_dim), np.float32)
-        visual = np.zeros((len(feats), t_top, v_dim), np.float32)
+        audio = np.zeros((len(feats), t_store, a_dim), np.float32)
+        visual = np.zeros((len(feats), t_store, v_dim), np.float32)
         for i, (a, v) in enumerate(feats):
             audio[i, : a.shape[0]] = a
             visual[i, : v.shape[0]] = v
 
         self.t_top = t_top
+        self.t_store = t_store
         self.lengths_np = lengths
         np_dtype = np.dtype(jnp.dtype(dtype).name) if dtype else np.float32
 
@@ -64,11 +73,20 @@ class DeviceFeatureCache:
             put = lambda x: jax.device_put(x, repl)  # noqa: E731
         else:
             put = jax.device_put
-        self._arrays = {
-            "audio": put(audio.astype(np_dtype)),
-            "visual": put(visual.astype(np_dtype)),
-            "lengths": put(lengths),
-        }
+        self._arrays = {"lengths": put(lengths)}
+        if np_dtype == np.int8:
+            # Same per-(clip, frame) max-abs quantization as the trainer's
+            # int8 transfer path (trainer._put_batch): a raw astype would
+            # truncate normalized features to {-1, 0, 1}.
+            for name, x in (("audio", audio), ("visual", visual)):
+                scale = np.max(np.abs(x), axis=2, keepdims=True) / 127.0
+                scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+                q = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+                self._arrays[name] = put(q)
+                self._arrays[name + "_scale"] = put(scale)
+        else:
+            self._arrays["audio"] = put(audio.astype(np_dtype))
+            self._arrays["visual"] = put(visual.astype(np_dtype))
 
         # one-time caption encoding for the light per-item loader path
         self.caption_rows = np.array(
@@ -96,6 +114,9 @@ def gather_features(cache_arrays, video_rows, t_pad: int, sample_mask=None):
 
     audio = cache_arrays["audio"][video_rows, :t_pad].astype(jnp.float32)
     visual = cache_arrays["visual"][video_rows, :t_pad].astype(jnp.float32)
+    if "audio_scale" in cache_arrays:      # int8 cache: dequantize on device
+        audio = audio * cache_arrays["audio_scale"][video_rows, :t_pad]
+        visual = visual * cache_arrays["visual_scale"][video_rows, :t_pad]
     lens = cache_arrays["lengths"][video_rows]
     feat_mask = jnp.arange(t_pad)[None, :] < lens[:, None]
     if sample_mask is not None:
@@ -113,10 +134,15 @@ def collate_index_batch(
     caption_buckets,
     frame_buckets,
     pad_batch_to: Optional[int] = None,
+    t_store: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Host-side light collation: captions [L,B] + video_rows [B] +
     sample_mask [B] + the batch's static frame bucket (from cached
-    lengths).  No feature bytes leave the host."""
+    lengths).  No feature bytes leave the host.  ``t_store`` is the cache's
+    stacked frame capacity (DeviceFeatureCache.t_store); the frame bucket is
+    clamped to it so the on-device gather slice stays in range — with a
+    bucket-padded cache the clamp never bites and the cached path pads to
+    the same bucket as the uncached collator."""
     from mvc_tpu.config import PAD_ID
     from mvc_tpu.data.dataset import _bucket
 
@@ -125,9 +151,8 @@ def collate_index_batch(
     l_max = max(c.shape[0] for c in caption_ids_list)
     l_pad = _bucket(l_max, caption_buckets)
     t_max = int(lengths[rows].max())
-    # The bucket may exceed the cache's stacked T_top (= global max length);
-    # clamp so the on-device gather slice and the frame mask agree.
-    t_pad = min(_bucket(t_max, frame_buckets), int(lengths.max()))
+    t_pad = min(_bucket(t_max, frame_buckets),
+                int(t_store) if t_store else int(lengths.max()))
 
     captions = np.full((l_pad, b), PAD_ID, dtype=np.int32)
     video_rows = np.zeros((b,), dtype=np.int32)

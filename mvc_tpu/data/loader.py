@@ -163,6 +163,7 @@ class DataLoader:
                     caption_buckets=self.caption_buckets,
                     frame_buckets=self.frame_buckets,
                     pad_batch_to=pad_to,
+                    t_store=getattr(cache, "t_store", None),
                 )
                 continue
             items = [self.dataset[int(i)] for i in idx]

@@ -158,16 +158,27 @@ def _segment_stats(
     hyp: Sequence[str], ref: Sequence[str], syn: Optional[SynonymTable] = None
 ):
     """(weighted_matches, total_matches, chunks, len_hyp, len_ref)."""
+    global _native_mod
     if _native_mod is not None:
         hyp_syn = [sorted(syn.ids(w)) for w in hyp] if syn is not None else None
         ref_syn = [sorted(syn.ids(w)) for w in ref] if syn is not None else None
-        weighted, m, chunks = _native_mod.meteor_stats(
-            list(hyp), list(ref),
-            [porter_stem(w) for w in hyp], [porter_stem(w) for w in ref],
-            STAGE_WEIGHTS[0], STAGE_WEIGHTS[1],
-            hyp_syn, ref_syn, STAGE_WEIGHTS[2],
-        )
-        return weighted, m, chunks, len(hyp), len(ref)
+        try:
+            weighted, m, chunks = _native_mod.meteor_stats(
+                list(hyp), list(ref),
+                [porter_stem(w) for w in hyp], [porter_stem(w) for w in ref],
+                STAGE_WEIGHTS[0], STAGE_WEIGHTS[1],
+                hyp_syn, ref_syn, STAGE_WEIGHTS[2],
+            )
+            return weighted, m, chunks, len(hyp), len(ref)
+        except TypeError:
+            # A stale mvc_tpu/_native.so predating the synonym stage (arity
+            # 6, not 9): degrade to the identical pure-Python aligner rather
+            # than failing every METEOR call; `make native` rebuilds.
+            import warnings
+
+            warnings.warn("stale mvc_tpu._native extension (run `make native`); "
+                          "using the pure-Python METEOR aligner", RuntimeWarning)
+            _native_mod = None
     matches = _align(hyp, ref, syn)
     weighted = sum(_match_weight(hyp[i], ref[j]) for i, j in matches)
     return weighted, len(matches), _count_chunks(matches), len(hyp), len(ref)

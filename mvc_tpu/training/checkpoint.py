@@ -46,11 +46,18 @@ class AsyncSaver:
 
     def __init__(self):
         self._thread = None
+        self._error = None
 
     def wait(self) -> None:
+        """Joins the in-flight write; re-raises any failure from the worker
+        (a checkpoint silently missing on disk is worse than a loud stop —
+        a later resume would train from stale or default parameters)."""
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
 
     def submit(self, jobs) -> None:
         """jobs: list of (path, payload) where payloads may share device
@@ -78,8 +85,11 @@ class AsyncSaver:
         ]
 
         def work():
-            for path, payload in prepared:
-                save_checkpoint(path, payload)
+            try:
+                for path, payload in prepared:
+                    save_checkpoint(path, payload)
+            except BaseException as e:       # surfaced by the next wait()
+                self._error = e
 
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()

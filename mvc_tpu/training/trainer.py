@@ -137,12 +137,18 @@ class Trainer:
             full.update(audio=audio, visual=visual, feat_mask=feat_mask)
             return full
 
+        # Close over the raw python functions, not the jitted versions bound
+        # below — nesting the donating jit inside another trace would void
+        # its donate_argnums and re-trace pointlessly.
+        raw_train_step, raw_eval_loss_step = train_step, eval_loss_step
+
         def train_step_cached(params, opt_state, batch, cache_arrays, rng, t_pad):
-            return train_step(params, opt_state,
-                              _with_features(batch, cache_arrays, t_pad), rng)
+            return raw_train_step(params, opt_state,
+                                  _with_features(batch, cache_arrays, t_pad), rng)
 
         def eval_loss_step_cached(params, batch, cache_arrays, rng, t_pad):
-            return eval_loss_step(params, _with_features(batch, cache_arrays, t_pad), rng)
+            return raw_eval_loss_step(
+                params, _with_features(batch, cache_arrays, t_pad), rng)
 
         # Sharding is carried by the input placements (params via
         # param_shardings, batches via shard_batch); GSPMD propagates it.
@@ -279,9 +285,6 @@ class Trainer:
             return params, None
         return params, ckpt
 
-    def _save(self, epoch, params, opt_state):
-        save_checkpoint(self.checkpoint_name, self._main_payload(epoch, params, opt_state))
-
     # ------------------------------------------------------------ fit
     def fit(self, model, params, train_loader, val_loader, test_loader, train_config: TrainerConfig):
         cfg = train_config
@@ -343,7 +346,8 @@ class Trainer:
                 key = id(loader.dataset)
                 if key not in caches:
                     caches[key] = DeviceFeatureCache(
-                        loader.dataset, dtype=dtype, mesh=self.mesh
+                        loader.dataset, dtype=dtype, mesh=self.mesh,
+                        frame_buckets=tuple(cfg.frame_buckets),
                     )
                     print(f"Device feature cache: {caches[key].nbytes() / 1e6:.1f} MB "
                           f"({len(caches[key].row_of)} clips, T_top={caches[key].t_top})")

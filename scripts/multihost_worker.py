@@ -48,26 +48,18 @@ def main() -> None:
     else:
         import jax
 
-    # Persistent compile cache: on a contended single-CPU host a cold compile
-    # can outlast the Gloo collective timeout of the peer process; a warm
-    # cache makes the step dispatch immediately.
-    try:
-        os.makedirs("/root/.jax_cache", exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
+    from mvc_tpu.utils.runtime import setup_compile_cache
 
-    from mvc_tpu.config import DecoderConfig, TrainerConfig
+    setup_compile_cache()
+
+    from mvc_tpu.config import TrainerConfig
     from mvc_tpu.data import get_loader
-    from mvc_tpu.models import AVCaptioningDual
     from mvc_tpu.parallel import initialize, make_global_mesh, param_shardings
     from mvc_tpu.parallel.mesh import shard_batch
-    from mvc_tpu.training.losses import ModalityWiseReconstructionLossBuilder
+    from mvc_tpu.parallel.smoke import (
+        make_smoke_loss, make_smoke_model, make_smoke_train_step,
+    )
     from mvc_tpu.training.optimizer import make_optimizer
-
-    import jax.numpy as jnp
 
     process_index, process_count = initialize(
         coordinator_address=args.coordinator,
@@ -87,41 +79,14 @@ def main() -> None:
 
     a_dim = batch["audio"].shape[-1]
     v_dim = batch["visual"].shape[-1]
-    model = AVCaptioningDual(
-        vocab_size=len(ds.vocab), teacher_forcing_ratio=1.0, reconstructor_type="global",
-        visual_decoder_config=DecoderConfig(in_feature_size=v_dim, rnn_hidden_size=16,
-                                            embedding_size=8, attn_size=6),
-        audio_decoder_config=DecoderConfig(in_feature_size=a_dim, rnn_hidden_size=16,
-                                           embedding_size=8, attn_size=6),
-    )
+    model = make_smoke_model(len(ds.vocab), a_dim, v_dim)
     params = model.init(jax.random.PRNGKey(0))
     params = jax.device_put(params, param_shardings(mesh, params))
     optimizer = make_optimizer(TrainerConfig())
     opt_state = optimizer.init(params)
-    loss_fn = ModalityWiseReconstructionLossBuilder(
-        reg_lambda=0.0005, audio_recon_lambda=0.00005, visual_recon_lambda=0.5,
-        rec_type="global",
-    )
 
     gbatch = shard_batch(mesh, batch)
-
-    def train_step(params, opt_state, batch, rng):
-        def loss_of(p):
-            outputs, a_rec, v_rec = model.forward(
-                p, batch["audio"], batch["visual"], batch["captions"],
-                rng=rng, feat_mask=batch["feat_mask"],
-            )
-            loss, *_ = loss_fn(outputs, batch["captions"], batch["audio"], a_rec,
-                               batch["visual"], v_rec, feat_mask=batch["feat_mask"])
-            return loss
-
-        loss, grads = jax.value_and_grad(loss_of)(params)
-        gnorm = jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(grads)))
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
-        pnorm = jnp.sqrt(sum(jnp.sum(p * p) for p in jax.tree.leaves(params)))
-        return params, opt_state, loss, gnorm, pnorm
-
+    train_step = make_smoke_train_step(model, make_smoke_loss(), optimizer)
     step = jax.jit(train_step, donate_argnums=(0, 1))
     params, opt_state, loss, gnorm, pnorm = step(
         params, opt_state, gbatch, jax.random.PRNGKey(1)

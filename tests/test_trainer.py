@@ -199,3 +199,68 @@ def test_device_feature_cache_equivalence(synthetic_msvd, tmp_path):
     assert histories[True]["val_score"][0]["CIDEr"] == pytest.approx(
         histories[False]["val_score"][0]["CIDEr"], rel=1e-6
     )
+
+
+def test_device_feature_cache_equivalence_unmasked_oversize_bucket(synthetic_msvd, tmp_path):
+    """With the bug-compat mask_padded_features=False and a frame bucket ABOVE
+    the data's max length, the padded zero frames are attended (softmax
+    denominators include them) — the cached path must pad to the same bucket
+    as the uncached collator, not clamp to the data's max (review finding)."""
+    histories = {}
+    for cached in (False, True):
+        train_loader, val_loader = _loaders(synthetic_msvd)
+        train_loader.shuffle = False
+        val_loader.shuffle = False
+        vocab = train_loader.dataset.vocab
+        model = _model(vocab, "global")
+        params = model.init(jax.random.PRNGKey(0))
+
+        cfg = TrainerConfig()
+        cfg.epochs = 1
+        cfg.batch_size = 6
+        cfg.lr = 5e-3
+        cfg.frame_buckets = (12,)          # > synthetic max length (8)
+        cfg.caption_buckets = (12,)
+        cfg.eval_max_caption_len = 12
+        cfg.transfer_dtype = None
+        cfg.mask_padded_features = False   # PARITY bug-compat switch
+        cfg.device_feature_cache = cached
+
+        trainer = Trainer(checkpoint_name=str(tmp_path / f"um{cached}.ckpt"),
+                          log_dir=None, eval_freq=1)
+        _, _, history = trainer.fit(model, params, train_loader, val_loader,
+                                    val_loader, cfg)
+        histories[cached] = history
+
+    for k in ("total", "ce", "a_recon", "v_recon"):
+        np.testing.assert_allclose(
+            histories[True]["train_loss"][0][k],
+            histories[False]["train_loss"][0][k],
+            rtol=1e-5, atol=1e-6, err_msg=f"train {k}",
+        )
+
+
+def test_device_feature_cache_int8_dequantizes(synthetic_msvd):
+    """int8 cache must quantize with per-(clip, frame) max-abs scales and
+    dequantize on gather — a raw astype(int8) truncates normalized features
+    to {-1, 0, 1} (review finding)."""
+    import jax.numpy as jnp
+
+    from mvc_tpu.data.feature_cache import DeviceFeatureCache, gather_features
+
+    train_loader, _ = _loaders(synthetic_msvd)
+    ds = train_loader.dataset
+    f32 = DeviceFeatureCache(ds, dtype="float32", frame_buckets=(12,))
+    q8 = DeviceFeatureCache(ds, dtype="int8", frame_buckets=(12,))
+    assert q8.t_store == 12 and f32.t_store == 12
+
+    rows = jnp.arange(len(q8.row_of))
+    a_ref, v_ref, m_ref = gather_features(f32.arrays(), rows, 12)
+    a_q, v_q, m_q = gather_features(q8.arrays(), rows, 12)
+    np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_q))
+    # max-abs per-frame quantization: <=1% of the per-frame scale
+    for ref, got in ((a_ref, a_q), (v_ref, v_q)):
+        ref, got = np.asarray(ref), np.asarray(got)
+        scale = np.max(np.abs(ref), axis=2, keepdims=True)
+        np.testing.assert_allclose(got, ref, atol=float(scale.max()) / 127 + 1e-7)
+        assert np.corrcoef(ref.ravel(), got.ravel())[0, 1] > 0.999
