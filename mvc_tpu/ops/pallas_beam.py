@@ -64,7 +64,6 @@ def _beam_kernel(
     dims,            # per-decoder tuples (F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v)
     B, T, W, V, L,
     alpha,
-    n_e, TVe, Ecat_p,
     Tc, CR,
     sos_id, eos_id,
 ):
@@ -73,24 +72,19 @@ def _beam_kernel(
     f32 = jnp.float32
 
     # ---- ref parsing (order fixed by the wrapper) ----
-    nin = 6 + 7 * n_dec
+    nin = 7 + 7 * n_dec
     (mask_ref, row_clip_ref, row_beam_ref, col_clip_ref, col_beam_ref,
-     featcol_clip_ref) = refs[:6]
-    dec_refs = [refs[6 + 7 * d: 6 + 7 * (d + 1)] for d in range(n_dec)]
-    emb_hbm = refs[nin]
-    wih_hbm = [refs[nin + 1 + 2 * d] for d in range(n_dec)]
-    wout_hbm = [refs[nin + 2 + 2 * d] for d in range(n_dec)]
-    hist_ref = refs[nin + 1 + 2 * n_dec]
-    scr = refs[nin + 2 + 2 * n_dec:]
-    emb_buf, emb_sem = scr[0], scr[1]
-    wih_buf = [scr[2 + 4 * d] for d in range(n_dec)]
-    wout_buf = [scr[3 + 4 * d] for d in range(n_dec)]
-    wih_sem = [scr[4 + 4 * d] for d in range(n_dec)]
-    wout_sem = [scr[5 + 4 * d] for d in range(n_dec)]
-    wdtype = emb_buf.dtype
-
-    def emb_dma(slot, j):
-        return pltpu.make_async_copy(emb_hbm.at[j], emb_buf.at[slot], emb_sem.at[slot])
+     featcol_clip_ref, emb_ref) = refs[:7]
+    dec_refs = [refs[7 + 7 * d: 7 + 7 * (d + 1)] for d in range(n_dec)]
+    wih_hbm = [refs[nin + 2 * d] for d in range(n_dec)]
+    wout_hbm = [refs[nin + 1 + 2 * d] for d in range(n_dec)]
+    hist_ref = refs[nin + 2 * n_dec]
+    scr = refs[nin + 1 + 2 * n_dec:]
+    wih_buf = [scr[4 * d] for d in range(n_dec)]
+    wout_buf = [scr[1 + 4 * d] for d in range(n_dec)]
+    wih_sem = [scr[2 + 4 * d] for d in range(n_dec)]
+    wout_sem = [scr[3 + 4 * d] for d in range(n_dec)]
+    wdtype = emb_ref.dtype
 
     def wih_dma(d, slot, j):
         return pltpu.make_async_copy(wih_hbm[d].at[j], wih_buf[d].at[slot], wih_sem[d].at[slot])
@@ -119,20 +113,23 @@ def _beam_kernel(
     n_cc = (B * T) // CR
     kk = CR // T
 
-    def step(t, carry):
-        prev, hs, cs, cum, fin, eoslen, hist = carry
+    def step(carry):
+        t, _, prev, hs, cs, cum, fin, eoslen, hist = carry
         hs, cs = list(hs), list(cs)
+        # Early-exit bookkeeping: a step that BEGINS with every beam finished
+        # only sorts beams by normalized score; every later step would write
+        # token 0 (already hist's fill value) under an identity permutation,
+        # so after this step the loop can stop — output-identical to running
+        # all L steps (models/beam.py semantics).
+        began_allfin = jnp.min(fin) > 0.0
 
-        # ---- 1. embedding of prev token from streamed emb_cat tiles ----
-        acc = jnp.zeros((BW, Ecat_p), f32)
-        for j in range(n_e):
-            slot, nxt = j % 2, (j + 1) % 2
-            if j + 1 < n_e:
-                emb_dma(nxt, j + 1).start()
-            emb_dma(slot, j).wait()
-            iot = jax.lax.broadcasted_iota(jnp.int32, (BW, TVe), 1).astype(f32) + float(j * TVe)
-            onehot = (iot == prev).astype(wdtype)
-            acc = acc + jnp.dot(onehot, emb_buf[slot], preferred_element_type=f32)
+        # ---- 1. embedding of prev token: one-hot matmul against the
+        # VMEM-resident concatenated tables (Vp x Ecat_p fits on-chip;
+        # streaming it cost ~6 MB of HBM per step plus a step-start bubble)
+        Vp = emb_ref.shape[0]
+        iot = jax.lax.broadcasted_iota(jnp.int32, (BW, Vp), 1).astype(f32)
+        onehot = (iot == prev).astype(wdtype)
+        acc = jnp.dot(onehot, emb_ref[:], preferred_element_type=f32)
 
         # ---- 2. per-decoder attention + step input x ----
         xs = []
@@ -229,8 +226,6 @@ def _beam_kernel(
                     wout_dma(d, nxt, j + 1).start()
                 else:
                     wih_dma(d, 0, 0).start()       # next step's first gate tile
-                    if d == 0:
-                        emb_dma(0, 0).start()      # next step's first emb tile
                 wout_dma(d, slot, j).wait()
             fused = jnp.zeros((BW, TV), f32)
             for d in range(n_dec):
@@ -322,10 +317,10 @@ def _beam_kernel(
         lcol = jax.lax.broadcasted_iota(jnp.int32, (BW, L), 1)
         hist_new = jnp.where(lcol == t, newtok, hist_r)
 
-        return (newtok, tuple(hs), tuple(cs), newcum, fin_new, eos_new, hist_new)
+        return (t + 1, began_allfin, newtok, tuple(hs), tuple(cs),
+                newcum, fin_new, eos_new, hist_new)
 
     # ---- init + warm-up + loop + drain ----
-    emb_dma(0, 0).start()
     for d in range(n_dec):
         wih_dma(d, 0, 0).start()
 
@@ -337,13 +332,15 @@ def _beam_kernel(
     eos0 = jnp.zeros((BW, 1), f32)
     hist0 = jnp.zeros((BW, L), f32)
 
-    carry = jax.lax.fori_loop(
-        0, L, step, (prev0, hs0, cs0, cum0, fin0, eos0, hist0)
+    carry = jax.lax.while_loop(
+        lambda c: jnp.logical_and(c[0] < L, jnp.logical_not(c[1])),
+        step,
+        (jnp.int32(0), jnp.bool_(False),
+         prev0, hs0, cs0, cum0, fin0, eos0, hist0),
     )
-    hist_ref[:] = carry[6]
+    hist_ref[:] = carry[8]
 
-    emb_dma(0, 0).wait()                    # drain the final step's prefetches
-    for d in range(n_dec):
+    for d in range(n_dec):                  # drain the final step's prefetches
         wih_dma(d, 0, 0).wait()
 
 
@@ -362,10 +359,10 @@ def beam_decode_pallas(
     beam_width: int = 5,
     beam_alpha: float = 0.0,
     tile_g: int = 256,
-    tile_v: int = 512,
+    tile_v: int = 1024,
     weight_dtype: str = "bfloat16",
     interpret: bool = False,
-    vmem_limit_mb: int = 40,
+    vmem_limit_mb: int = 64,
 ) -> jnp.ndarray:
     """Fused beam search over joint (summed) decoder log-probs -> token ids
     ``[B, max_caption_len + 2]`` beginning with SOS — the same contract as
@@ -389,8 +386,6 @@ def beam_decode_pallas(
     TV = min(int(tile_v), _round_up(V, 128))
     Vp = _round_up(V, TV)
     n_v = Vp // TV
-    TVe = TV
-    n_e = Vp // TVe
 
     # --- shared aux index arrays (host-built: no vector int div in-kernel) ---
     r = np.arange(BW)
@@ -418,7 +413,7 @@ def beam_decode_pallas(
     dims = []
     vmem_ins = [mask, row_clip, row_beam, col_clip, col_beam, featcol_clip]
     hbm_ins = []
-    scratch = [None, pltpu.SemaphoreType.DMA((2,))]   # emb buf placeholder + sem
+    scratch = []
     emb_blocks = []
     eoff = 0
     for d, (params, feats) in enumerate(zip(decoder_params, feats_list)):
@@ -479,7 +474,8 @@ def beam_decode_pallas(
         dims.append((F, H, A, E, eoff, Kp, TG, n_g, TV, n_v))
         eoff += E
 
-    # --- concatenated embedding tables, tiled over vocab rows ---
+    # --- concatenated embedding tables, VMEM-resident (Vp x Ecat_p is a
+    # few MB; streaming cost HBM traffic and a step-start DMA bubble) ---
     ecat = sum(E for _, E in emb_blocks)
     ecat_p = _round_up(ecat, 128)
     emb_cat = jnp.zeros((Vp, ecat_p), wd)
@@ -487,13 +483,12 @@ def beam_decode_pallas(
     for emb, E in emb_blocks:
         emb_cat = emb_cat.at[:V, off:off + E].set(emb.astype(wd))
         off += E
-    emb_tiles = emb_cat.reshape(n_e, TVe, ecat_p)
-    scratch[0] = pltpu.VMEM((2, TVe, ecat_p), wd)
+    vmem_ins = vmem_ins[:6] + [emb_cat] + vmem_ins[6:]
 
     kernel = functools.partial(
         _beam_kernel,
         dims=tuple(dims), B=B, T=T, W=W, V=V, L=L,
-        alpha=float(beam_alpha), n_e=n_e, TVe=TVe, Ecat_p=ecat_p,
+        alpha=float(beam_alpha),
         Tc=Tc, CR=CR, sos_id=SOS_ID, eos_id=EOS_ID,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -516,21 +511,20 @@ def beam_decode_pallas(
     )
     hist = pl.pallas_call(
         kernel,
-        in_specs=[vspec] * len(vmem_ins) + [hspec] * (1 + len(hbm_ins)),
+        in_specs=[vspec] * len(vmem_ins) + [hspec] * len(hbm_ins),
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((BW, L), f32),
         scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=L * flops_step,
-            bytes_accessed=L * (
-                sum(dd[5] * dd[6] * dd[7] + dd[1] * Vp for dd in dims)
-                + Vp * ecat_p
+            bytes_accessed=L * sum(
+                dd[5] * dd[6] * dd[7] + dd[1] * Vp for dd in dims
             ) * wd.itemsize,
             transcendentals=L * BW * sum(4 * dd[1] + T * dd[2] for dd in dims),
         ),
         **kwargs,
-    )(*vmem_ins, emb_tiles, *hbm_ins)
+    )(*vmem_ins, *hbm_ins)
 
     tokens = hist.reshape(B, W, L)[:, 0].astype(jnp.int32)               # beam 0
     sos = jnp.full((B, 1), SOS_ID, jnp.int32)

@@ -175,3 +175,39 @@ def test_dispatch_enable_pallas_override():
     finally:
         os.environ.pop("MVC_PALLAS", None)
         dispatch._override = None
+
+
+def test_pallas_fused_beam_early_exit_parity(rng):
+    """EOS-heavy weights finish all beams early; the kernel's early exit
+    (stop after one step that begins all-finished) must stay token-identical
+    to the full-L XLA scan."""
+    from mvc_tpu.config import EOS_ID, DecoderConfig
+    from mvc_tpu.models import attention as attn
+    from mvc_tpu.models import beam as beam_mod
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.models.captioning import _beam_init_state
+    from mvc_tpu.ops.pallas_beam import beam_decode_pallas
+
+    cfg = DecoderConfig(in_feature_size=24, rnn_hidden_size=16, embedding_size=8,
+                        attn_size=8, output_size=31)
+    params = dec.init_decoder(jax.random.PRNGKey(5), cfg)
+    # strong EOS bias: beams finish within a few steps of the 20-step budget
+    params["out"]["b"] = params["out"]["b"].at[EOS_ID].add(4.0)
+    B, T, L, W = 4, 4, 20, 3
+    feats = jnp.asarray(rng.normal(size=(B, T, 24)).astype(np.float32))
+    keys = attn.precompute_keys(params["attention"], feats)
+
+    def step_fn(prev, state):
+        return dec.decoder_beam_step(params, cfg, prev, state, feats, keys, None, jnp.float32)
+
+    init_state = _beam_init_state(cfg.rnn_type, B, W, cfg.rnn_hidden_size, jnp.float32)
+    ref = np.asarray(beam_mod.beam_search(
+        step_fn, init_state, B, 31, max_caption_len=L, beam_alpha=0.7, beam_width=W,
+    ))
+    tok = np.asarray(beam_decode_pallas(
+        [params], [feats], max_caption_len=L, beam_width=W, beam_alpha=0.7,
+        weight_dtype="float32", interpret=True,
+    ))
+    # sanity: EOS actually fired well before L (the early exit is exercised)
+    assert (ref[:, 1:] == EOS_ID).any(axis=1).all()
+    np.testing.assert_array_equal(tok, ref)
