@@ -200,7 +200,7 @@ class AVCaptioning:
         if mode == "direct":
             from mvc_tpu.ops.dispatch import use_pallas
 
-            if use_pallas() and self.decoder_config.rnn_type == "LSTM":
+            if use_pallas():
                 # Whole-decode fused kernel (ops/pallas_decode.py): weights
                 # stream as double-buffered tiles in the model's compute
                 # dtype; tokens-only output.  1.4x the XLA scan at the
@@ -211,6 +211,7 @@ class AVCaptioning:
                     params["decoder"], features, feat_mask=feat_mask,
                     max_caption_len=max_caption_len,
                     weight_dtype=jnp.dtype(self.dtype).name,
+                    rnn_type=self.decoder_config.rnn_type,
                 )
             outputs, _ = dec.decode(
                 params["decoder"], self.decoder_config, features,
@@ -372,11 +373,7 @@ class AVCaptioningDual:
             # log-probs are argmaxed (reference src/models/captioning.py:279-288).
             from mvc_tpu.ops.dispatch import use_pallas
 
-            if (
-                use_pallas()
-                and self.v_config.rnn_type == "LSTM"
-                and self.a_config.rnn_type == "LSTM"
-            ):
+            if use_pallas():
                 # Whole-decode fused dual kernel (ops/pallas_dual_greedy.py);
                 # parity asserted in tests/test_pallas.py.
                 from mvc_tpu.ops.pallas_dual_greedy import dual_greedy_decode_pallas
@@ -385,6 +382,7 @@ class AVCaptioningDual:
                     [params["v_decoder"], params["a_decoder"]], [visual, audio],
                     feat_mask=feat_mask, max_caption_len=max_caption_len,
                     weight_dtype=jnp.dtype(self.dtype).name,
+                    rnn_types=(self.v_config.rnn_type, self.a_config.rnn_type),
                 )
             if self.fused_scan:
                 v_outputs, _, a_outputs, _ = dual_decode_fused(

@@ -53,8 +53,11 @@ def _decode_kernel(
     emb_ref,        # [Vp, E]     (padded vocab rows are zeros)
     attn_w_ref,     # [H, A]      (query projection W)
     attn_b_ref,     # [1, A]      f32
-    wh_ref,         # [H, 4H]
-    b_gates_ref,    # [1, 4H]     f32 (bi + bh)
+    wh_ref,         # [H, G*H]    (G = 4 LSTM / 3 GRU)
+    b_gates_ref,    # [1, G*H]    f32 (bi + bh for LSTM; bi alone for GRU)
+    b_h_ref,        # [1, G*H]    f32 (bh for GRU — its n-gate keeps the
+                    #              recurrent bias inside the reset product;
+                    #              zeros/unused for LSTM)
     b_out_ref,      # [1, Vp]     f32 (padded cols = -inf so argmax skips them)
     # HBM-resident streamed inputs (tile-major)
     wi_hbm,         # [n_g, Kp, TG]
@@ -69,6 +72,7 @@ def _decode_kernel(
     *,
     L: int,
     sos_id: int,
+    cell: str,      # "LSTM" | "GRU"
 ):
     T, B, F = feats_ref.shape
     H = wh_ref.shape[0]
@@ -127,8 +131,11 @@ def _decode_kernel(
             parts.append(jnp.zeros((B, pad), wdtype))
         x = jnp.concatenate(parts, axis=1)                     # [B, Kp]
         h_prev = h.astype(wdtype)
+        h_f32 = h
 
-        # ---- 4. gates from double-buffered wi tiles (torch order i,f,g,o)
+        # ---- 4. gates from double-buffered wi tiles (torch gate order:
+        # LSTM i,f,g,o with the cell update folded in; GRU r,z,n with the
+        # recurrent n-bias kept inside the reset product)
         tiles_per_gate = H // TG
         i_parts, g_parts = [None] * tiles_per_gate, [None] * tiles_per_gate
         c_parts = [c[:, k * TG:(k + 1) * TG] for k in range(tiles_per_gate)]
@@ -141,23 +148,39 @@ def _decode_kernel(
                 wout_dma(0, 0).start()
             wi_dma(slot, j).wait()
             col = j * TG
-            gv = (
-                jnp.dot(x, wi_buf[slot], preferred_element_type=jnp.float32)
-                + jnp.dot(h_prev, wh_ref[:, col:col + TG],
-                          preferred_element_type=jnp.float32)
-                + b_gates_ref[:, col:col + TG]
-            )                                                  # [B, TG]
             gate_id, k = col // H, (col % H) // TG
-            if gate_id == 0:
-                i_parts[k] = jax.nn.sigmoid(gv)
-            elif gate_id == 1:
-                c_parts[k] = jax.nn.sigmoid(gv) * c_parts[k]
-            elif gate_id == 2:
-                g_parts[k] = jnp.tanh(gv)
+            if cell == "LSTM":
+                gv = (
+                    jnp.dot(x, wi_buf[slot], preferred_element_type=jnp.float32)
+                    + jnp.dot(h_prev, wh_ref[:, col:col + TG],
+                              preferred_element_type=jnp.float32)
+                    + b_gates_ref[:, col:col + TG]
+                )                                              # [B, TG]
+                if gate_id == 0:
+                    i_parts[k] = jax.nn.sigmoid(gv)
+                elif gate_id == 1:
+                    c_parts[k] = jax.nn.sigmoid(gv) * c_parts[k]
+                elif gate_id == 2:
+                    g_parts[k] = jnp.tanh(gv)
+                else:
+                    c_parts[k] = c_parts[k] + i_parts[k] * g_parts[k]
+                    h_parts[k] = jax.nn.sigmoid(gv) * jnp.tanh(c_parts[k])
             else:
-                c_parts[k] = c_parts[k] + i_parts[k] * g_parts[k]
-                h_parts[k] = jax.nn.sigmoid(gv) * jnp.tanh(c_parts[k])
-        c = jnp.concatenate(c_parts, axis=1)
+                gv = (jnp.dot(x, wi_buf[slot], preferred_element_type=jnp.float32)
+                      + b_gates_ref[:, col:col + TG])          # x-side + bi
+                gh = (jnp.dot(h_prev, wh_ref[:, col:col + TG],
+                              preferred_element_type=jnp.float32)
+                      + b_h_ref[:, col:col + TG])              # h-side + bh
+                if gate_id == 0:
+                    i_parts[k] = jax.nn.sigmoid(gv + gh)       # r
+                elif gate_id == 1:
+                    g_parts[k] = jax.nn.sigmoid(gv + gh)       # z
+                else:
+                    z = g_parts[k]
+                    n = jnp.tanh(gv + i_parts[k] * gh)
+                    h_parts[k] = (1.0 - z) * n + z * h_f32[:, k * TG:(k + 1) * TG]
+        if cell == "LSTM":
+            c = jnp.concatenate(c_parts, axis=1)
         h = jnp.concatenate(h_parts, axis=1)
 
         # ---- 5. vocab projection from double-buffered wout tiles + running argmax
@@ -193,7 +216,8 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_caption_len", "sos_id", "tile_g", "tile_v", "weight_dtype", "interpret"
+        "max_caption_len", "sos_id", "tile_g", "tile_v", "weight_dtype",
+        "interpret", "rnn_type",
     ),
 )
 def greedy_decode_pallas(
@@ -206,6 +230,7 @@ def greedy_decode_pallas(
     tile_v: int = 512,
     weight_dtype: str = "bfloat16",
     interpret: bool = False,
+    rnn_type: str = "LSTM",
 ) -> jnp.ndarray:
     """Whole-decode fused greedy predict -> tokens [B, L], matching
     ``greedy_tokens(decode(..., captions=None, max_caption_len=L)[0])``:
@@ -224,7 +249,8 @@ def greedy_decode_pallas(
     wi = params["rnn"]["wi"]
     wh = params["rnn"]["wh"]
     K1, H4 = wi.shape
-    H = H4 // 4
+    n_gates = 4 if rnn_type == "LSTM" else 3
+    H = H4 // n_gates
     wout = params["out"]["w"]
     b_out = params["out"]["b"].astype(jnp.float32)
     ap = params["attention"]
@@ -266,9 +292,14 @@ def greedy_decode_pallas(
     wout_tiles = wout_p.reshape(H, n_v, tile_v).transpose(1, 0, 2)  # [n_v, H, TV]
     b_out_p = jnp.full((1, Vp), -1e30, jnp.float32).at[0, :V].set(b_out)
 
-    b_gates = (params["rnn"]["bi"] + params["rnn"]["bh"]).astype(jnp.float32).reshape(1, H4)
+    if rnn_type == "LSTM":
+        b_gates = (params["rnn"]["bi"] + params["rnn"]["bh"]).astype(jnp.float32).reshape(1, H4)
+        b_h = jnp.zeros((1, H4), jnp.float32)
+    else:
+        b_gates = params["rnn"]["bi"].astype(jnp.float32).reshape(1, H4)
+        b_h = params["rnn"]["bh"].astype(jnp.float32).reshape(1, H4)
 
-    kernel = functools.partial(_decode_kernel, L=L, sos_id=sos_id)
+    kernel = functools.partial(_decode_kernel, L=L, sos_id=sos_id, cell=rnn_type)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec(memory_space=pltpu.ANY)
 
@@ -284,6 +315,7 @@ def greedy_decode_pallas(
             vspec,  # attn b
             vspec,  # wh
             vspec,  # b_gates
+            vspec,  # b_h
             vspec,  # b_out
             hspec,  # wi tiles (HBM)
             hspec,  # wout tiles (HBM)
@@ -306,7 +338,7 @@ def greedy_decode_pallas(
         feats_tm, keys2, wblk, mask, emb_p,
         ap["W"].astype(wdtype),
         ap["b"].astype(jnp.float32).reshape(1, A),
-        wh.astype(wdtype), b_gates, b_out_p,
+        wh.astype(wdtype), b_gates, b_h, b_out_p,
         wi_tiles, wout_tiles,
     )
     return jnp.concatenate(

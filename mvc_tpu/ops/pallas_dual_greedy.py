@@ -39,14 +39,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
-    """dims: per-decoder (F, H, A, E, Kp, TG, n_g)."""
+    """dims: per-decoder (F, H, A, E, Kp, TG, n_g, cell)."""
     n_dec = len(dims)
     f32 = jnp.float32
 
     # ---- ref parsing (wrapper order) ----
     mask_ref = refs[0]
-    dec_refs = [refs[1 + 9 * d: 1 + 9 * (d + 1)] for d in range(n_dec)]
-    nin = 1 + 9 * n_dec
+    dec_refs = [refs[1 + 10 * d: 1 + 10 * (d + 1)] for d in range(n_dec)]
+    nin = 1 + 10 * n_dec
     wi_hbm = [refs[nin + 2 * d] for d in range(n_dec)]
     wout_hbm = [refs[nin + 2 * d + 1] for d in range(n_dec)]
     tokens_ref = refs[nin + 2 * n_dec]
@@ -74,9 +74,9 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
     for t in range(L):
         xs = []
         for d in range(n_dec):
-            F, H, A, E, Kp, TG, n_g = dims[d]
+            F, H, A, E, Kp, TG, n_g, cell = dims[d]
             (feats_ref, keys2_ref, wblk_ref, emb_ref, attn_w_ref,
-             attn_b_ref, _, b_gates_ref, b_out_ref) = dec_refs[d]
+             attn_b_ref, _, b_gates_ref, _, b_out_ref) = dec_refs[d]
             Vp = emb_ref.shape[0]
 
             # ---- 1. embedding of THIS decoder's own previous token
@@ -110,10 +110,14 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
             xs.append(jnp.concatenate(parts, axis=1))            # [B, Kp]
 
         # ---- 3. gates per decoder from its double-buffered wi stream
+        # (torch gate order: LSTM i,f,g,o; GRU r,z,n with the recurrent
+        # n-bias kept inside the reset product)
         for d in range(n_dec):
-            F, H, A, E, Kp, TG, n_g = dims[d]
-            wh_ref, b_gates_ref = dec_refs[d][6], dec_refs[d][7]
+            F, H, A, E, Kp, TG, n_g, cell = dims[d]
+            wh_ref, b_gates_ref, b_h_ref = (
+                dec_refs[d][6], dec_refs[d][7], dec_refs[d][8])
             x, h_prev = xs[d], hs[d].astype(wdtype)
+            h_f32 = hs[d]
             tpg = H // TG
             i_parts, g_parts = [None] * tpg, [None] * tpg
             c_parts = [cs[d][:, k * TG:(k + 1) * TG] for k in range(tpg)]
@@ -126,23 +130,40 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
                     wout_dma(d, 0, 0).start()
                 wi_dma(d, slot, j).wait()
                 col = j * TG
-                gv = (
-                    jnp.dot(x, wi_buf[d][slot], preferred_element_type=f32)
-                    + jnp.dot(h_prev, wh_ref[:, col:col + TG],
-                              preferred_element_type=f32)
-                    + b_gates_ref[:, col:col + TG]
-                )
                 gate_id, k = col // H, (col % H) // TG
-                if gate_id == 0:
-                    i_parts[k] = jax.nn.sigmoid(gv)
-                elif gate_id == 1:
-                    c_parts[k] = jax.nn.sigmoid(gv) * c_parts[k]
-                elif gate_id == 2:
-                    g_parts[k] = jnp.tanh(gv)
+                if cell == "LSTM":
+                    gv = (
+                        jnp.dot(x, wi_buf[d][slot], preferred_element_type=f32)
+                        + jnp.dot(h_prev, wh_ref[:, col:col + TG],
+                                  preferred_element_type=f32)
+                        + b_gates_ref[:, col:col + TG]
+                    )
+                    if gate_id == 0:
+                        i_parts[k] = jax.nn.sigmoid(gv)
+                    elif gate_id == 1:
+                        c_parts[k] = jax.nn.sigmoid(gv) * c_parts[k]
+                    elif gate_id == 2:
+                        g_parts[k] = jnp.tanh(gv)
+                    else:
+                        c_parts[k] = c_parts[k] + i_parts[k] * g_parts[k]
+                        h_parts[k] = jax.nn.sigmoid(gv) * jnp.tanh(c_parts[k])
                 else:
-                    c_parts[k] = c_parts[k] + i_parts[k] * g_parts[k]
-                    h_parts[k] = jax.nn.sigmoid(gv) * jnp.tanh(c_parts[k])
-            cs[d] = jnp.concatenate(c_parts, axis=1)
+                    gv = (jnp.dot(x, wi_buf[d][slot], preferred_element_type=f32)
+                          + b_gates_ref[:, col:col + TG])        # x-side + bi
+                    gh = (jnp.dot(h_prev, wh_ref[:, col:col + TG],
+                                  preferred_element_type=f32)
+                          + b_h_ref[:, col:col + TG])            # h-side + bh
+                    if gate_id == 0:
+                        i_parts[k] = jax.nn.sigmoid(gv + gh)     # r
+                    elif gate_id == 1:
+                        g_parts[k] = jax.nn.sigmoid(gv + gh)     # z
+                    else:
+                        z = g_parts[k]
+                        n = jnp.tanh(gv + i_parts[k] * gh)
+                        h_parts[k] = ((1.0 - z) * n
+                                      + z * h_f32[:, k * TG:(k + 1) * TG])
+            if cell == "LSTM":
+                cs[d] = jnp.concatenate(c_parts, axis=1)
             hs[d] = jnp.concatenate(h_parts, axis=1)
 
         # ---- 4. shared-tiling vocab projection: per-decoder AND fused
@@ -163,7 +184,7 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
             iota_t = jax.lax.broadcasted_iota(jnp.int32, (B, TV), 1) + j * TV
             fused = jnp.zeros((B, TV), f32)
             for d in range(n_dec):
-                b_out_ref = dec_refs[d][8]
+                b_out_ref = dec_refs[d][9]
                 logits = (
                     jnp.dot(h_wd[d], wout_buf[d][slot], preferred_element_type=f32)
                     + b_out_ref[:, j * TV:(j + 1) * TV]
@@ -194,7 +215,7 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
     jax.jit,
     static_argnames=(
         "max_caption_len", "sos_id", "tile_g", "tile_v", "weight_dtype",
-        "interpret", "vmem_limit_mb",
+        "interpret", "vmem_limit_mb", "rnn_types",
     ),
 )
 def dual_greedy_decode_pallas(
@@ -208,6 +229,7 @@ def dual_greedy_decode_pallas(
     weight_dtype: str = "bfloat16",
     interpret: bool = False,
     vmem_limit_mb: int = 48,
+    rnn_types: tuple = ("LSTM", "LSTM"),
 ) -> jnp.ndarray:
     """Fused dual-direct greedy -> tokens [B, max_caption_len], matching
     ``greedy_tokens(v_outputs + a_outputs)`` where each decoder free-runs on
@@ -237,13 +259,13 @@ def dual_greedy_decode_pallas(
     vmem_ins = [mask]
     hbm_ins = []
     scratch = []
-    for params, feats in zip(decoder_params, feats_list):
+    for params, feats, cell in zip(decoder_params, feats_list, rnn_types):
         emb = params["embedding"]["table"]
         assert emb.shape[0] == V, "decoders must share the vocabulary"
         E = emb.shape[1]
         wi, wh = params["rnn"]["wi"], params["rnn"]["wh"]
         K1, H4 = wi.shape
-        H = H4 // 4
+        H = H4 // (4 if cell == "LSTM" else 3)
         F = feats.shape[2]
         ap = params["attention"]
         A = ap["W"].shape[1]
@@ -270,7 +292,12 @@ def dual_greedy_decode_pallas(
         b_out = jnp.full((1, Vp), -1e30, f32).at[0, :V].set(
             params["out"]["b"].astype(f32)
         )
-        b_gates = (params["rnn"]["bi"] + params["rnn"]["bh"]).astype(f32).reshape(1, H4)
+        if cell == "LSTM":
+            b_gates = (params["rnn"]["bi"] + params["rnn"]["bh"]).astype(f32).reshape(1, H4)
+            b_h = jnp.zeros((1, H4), f32)
+        else:
+            b_gates = params["rnn"]["bi"].astype(f32).reshape(1, H4)
+            b_h = params["rnn"]["bh"].astype(f32).reshape(1, H4)
 
         vmem_ins += [
             feats_h.transpose(1, 0, 2),          # [T, B, F] time-major
@@ -281,6 +308,7 @@ def dual_greedy_decode_pallas(
             ap["b"].astype(f32).reshape(1, A),
             wh.astype(wd),
             b_gates,
+            b_h,
             b_out,
         ]
         hbm_ins += [wi_tiles, wout_tiles]
@@ -290,7 +318,7 @@ def dual_greedy_decode_pallas(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-        dims.append((F, H, A, E, Kp, TG, n_g))
+        dims.append((F, H, A, E, Kp, TG, n_g, cell))
 
     kernel = functools.partial(
         _dual_kernel, dims=tuple(dims), B=B, T=T, L=L,
@@ -319,10 +347,10 @@ def dual_greedy_decode_pallas(
         cost_estimate=pl.CostEstimate(
             flops=2 * L * B * sum(
                 Kp * 4 * H + H * 4 * H + H * Vp + Vp * E + T * A
-                for (F, H, A, E, Kp, TG, n_g) in dims
+                for (F, H, A, E, Kp, TG, n_g, cell) in dims
             ),
             bytes_accessed=L * sum(
-                (Kp * TG * n_g + H * Vp) for (F, H, A, E, Kp, TG, n_g) in dims
+                (Kp * TG * n_g + H * Vp) for (F, H, A, E, Kp, TG, n_g, cell) in dims
             ) * wd.itemsize,
             transcendentals=L * B * sum(4 * dd[1] + T * dd[2] for dd in dims),
         ),

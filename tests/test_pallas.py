@@ -211,3 +211,63 @@ def test_pallas_fused_beam_early_exit_parity(rng):
     # sanity: EOS actually fired well before L (the early exit is exercised)
     assert (ref[:, 1:] == EOS_ID).any(axis=1).all()
     np.testing.assert_array_equal(tok, ref)
+
+
+def test_pallas_fused_greedy_gru_matches_xla(rng):
+    """GRU-cell variant of the fused greedy kernel: exact token parity with
+    the XLA scan (torch GRU semantics — the recurrent n-gate bias stays
+    inside the reset product)."""
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.ops.pallas_decode import greedy_decode_pallas
+
+    cfg = DecoderConfig(in_feature_size=20, rnn_hidden_size=16, embedding_size=12,
+                        attn_size=8, output_size=33, rnn_type="GRU")
+    params = dec.init_decoder(jax.random.PRNGKey(2), cfg)
+    B, T, L = 4, 5, 9
+    feats = jnp.asarray(rng.normal(size=(B, T, 20)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 3:] = False
+    mask = jnp.asarray(mask)
+
+    out, _ = dec.decode(params, cfg, feats, captions=None, max_caption_len=L,
+                        feat_mask=mask, dtype=jnp.float32)
+    ref = np.asarray(dec.greedy_tokens(out))
+    tok = np.asarray(greedy_decode_pallas(
+        params, feats, feat_mask=mask, max_caption_len=L,
+        weight_dtype="float32", interpret=True, rnn_type="GRU",
+    ))
+    np.testing.assert_array_equal(tok, ref)
+
+
+def test_pallas_fused_dual_greedy_gru_matches_xla(rng):
+    """Dual-direct fused kernel with a GRU visual decoder and an LSTM audio
+    decoder (mixed cells): exact token parity with the XLA dual path."""
+    import jax.numpy as jnp
+
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.models.captioning import dual_decode_fused
+    from mvc_tpu.ops.pallas_dual_greedy import dual_greedy_decode_pallas
+
+    vcfg = DecoderConfig(in_feature_size=24, rnn_hidden_size=16, embedding_size=8,
+                         attn_size=8, output_size=29, rnn_type="GRU")
+    acfg = DecoderConfig(in_feature_size=12, rnn_hidden_size=32, embedding_size=10,
+                         attn_size=16, output_size=29, rnn_type="LSTM")
+    vp = dec.init_decoder(jax.random.PRNGKey(7), vcfg)
+    ap = dec.init_decoder(jax.random.PRNGKey(8), acfg)
+    B, T, L = 4, 4, 8
+    vfeats = jnp.asarray(rng.normal(size=(B, T, 24)).astype(np.float32))
+    afeats = jnp.asarray(rng.normal(size=(B, T, 12)).astype(np.float32))
+
+    v_out, _, a_out, _ = dual_decode_fused(
+        vp, ap, vcfg, acfg, vfeats, afeats, captions=None,
+        teacher_forcing_ratio=0.0, rng=None, feat_mask=None,
+        dtype=jnp.float32, max_caption_len=L,
+    )
+    ref = np.asarray(dec.greedy_tokens(v_out + a_out))
+    tok = np.asarray(dual_greedy_decode_pallas(
+        [vp, ap], [vfeats, afeats], max_caption_len=L,
+        weight_dtype="float32", interpret=True, rnn_types=("GRU", "LSTM"),
+    ))
+    np.testing.assert_array_equal(tok, ref)
