@@ -226,7 +226,7 @@ class AVCaptioning:
         cfg = self.decoder_config
         from mvc_tpu.ops.dispatch import use_pallas
 
-        if use_pallas() and cfg.rnn_type == "LSTM":
+        if use_pallas():
             # Fused whole-search kernel (ops/pallas_beam.py): token-id parity
             # with the scan path is asserted in tests/test_pallas.py.
             from mvc_tpu.ops.pallas_beam import beam_decode_pallas
@@ -235,6 +235,7 @@ class AVCaptioning:
                 [params["decoder"]], [features], feat_mask=feat_mask,
                 max_caption_len=max_caption_len, beam_width=beam_width,
                 beam_alpha=beam_alpha, weight_dtype=jnp.dtype(self.dtype).name,
+                rnn_types=(cfg.rnn_type,),
             )
         feats = features.astype(self.dtype)
         keys = attn.precompute_keys(params["decoder"]["attention"], feats)
@@ -408,12 +409,7 @@ class AVCaptioningDual:
         # reference leaves as FIXME (src/models/captioning.py:269-277).
         from mvc_tpu.ops.dispatch import use_pallas
 
-        if (
-            use_pallas()
-            and self.v_config.rnn_type == "LSTM"
-            and self.a_config.rnn_type == "LSTM"
-            and self.v_config.attn_size == self.a_config.attn_size
-        ):
+        if use_pallas() and self.v_config.attn_size == self.a_config.attn_size:
             # Fused whole-search kernel over both decoders' summed log-probs
             # (ops/pallas_beam.py); parity asserted in tests/test_pallas.py.
             from mvc_tpu.ops.pallas_beam import beam_decode_pallas
@@ -423,6 +419,7 @@ class AVCaptioningDual:
                 feat_mask=feat_mask, max_caption_len=max_caption_len,
                 beam_width=beam_width, beam_alpha=beam_alpha,
                 weight_dtype=jnp.dtype(self.dtype).name,
+                rnn_types=(self.v_config.rnn_type, self.a_config.rnn_type),
             )
         B = visual.shape[0]
         v_feats = visual.astype(self.dtype)

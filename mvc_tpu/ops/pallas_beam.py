@@ -61,7 +61,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _beam_kernel(
     *refs,
-    dims,            # per-decoder tuples (F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v)
+    dims,            # per-decoder (F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v, cell)
     B, T, W, V, L,
     alpha,
     Tc, CR,
@@ -72,10 +72,10 @@ def _beam_kernel(
     f32 = jnp.float32
 
     # ---- ref parsing (order fixed by the wrapper) ----
-    nin = 7 + 7 * n_dec
+    nin = 7 + 9 * n_dec
     (mask_ref, row_clip_ref, row_beam_ref, col_clip_ref, col_beam_ref,
      featcol_clip_ref, emb_ref) = refs[:7]
-    dec_refs = [refs[7 + 7 * d: 7 + 7 * (d + 1)] for d in range(n_dec)]
+    dec_refs = [refs[7 + 9 * d: 7 + 9 * (d + 1)] for d in range(n_dec)]
     wih_hbm = [refs[nin + 2 * d] for d in range(n_dec)]
     wout_hbm = [refs[nin + 1 + 2 * d] for d in range(n_dec)]
     hist_ref = refs[nin + 2 * n_dec]
@@ -134,8 +134,8 @@ def _beam_kernel(
         # ---- 2. per-decoder attention + step input x ----
         xs = []
         for d in range(n_dec):
-            F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v = dims[d]
-            feats_ref, keys_ref, wblk_ref, attn_w_ref, attn_b_ref, _, _ = dec_refs[d]
+            F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v, cell = dims[d]
+            feats_ref, keys_ref, wblk_ref, attn_w_ref, attn_b_ref = dec_refs[d][:5]
             h = hs[d]
 
             q = jnp.dot(h.astype(wdtype), attn_w_ref[:],
@@ -171,17 +171,26 @@ def _beam_kernel(
                 )
 
             embedded = acc[:, Eoff:Eoff + E]
-            parts = [context.astype(wdtype), embedded.astype(wdtype), h.astype(wdtype)]
-            pad = Kp - (F + E + H)
+            parts = [context.astype(wdtype), embedded.astype(wdtype)]
+            if cell == "LSTM":
+                parts.append(h.astype(wdtype))   # fused [wi; wh] rows
+                pad = Kp - (F + E + H)
+            else:
+                pad = Kp - (F + E)               # GRU: wh stays VMEM-resident
             if pad:
                 parts.append(jnp.zeros((BW, pad), wdtype))
             xs.append(jnp.concatenate(parts, axis=1))                    # [BW, Kp]
 
-        # ---- 3. LSTM gates from streamed [wi; wh] tiles (torch order i,f,g,o) ----
+        # ---- 3. gates from the streamed tiles (LSTM: fused [wi; wh],
+        # torch order i,f,g,o; GRU: wi-only tiles r,z,n with wh VMEM-resident
+        # and the recurrent n-bias kept inside the reset product) ----
         for d in range(n_dec):
-            F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v = dims[d]
-            b_gates_ref = dec_refs[d][5]
+            F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v, cell = dims[d]
+            b_gates_ref, wh_ref, b_h_ref = (
+                dec_refs[d][5], dec_refs[d][7], dec_refs[d][8])
             x, c_state = xs[d], cs[d]
+            h_prev = hs[d].astype(wdtype)
+            h_f32 = hs[d]
             tpg = H // TG
             i_parts, g_parts = [None] * tpg, [None] * tpg
             c_parts = [c_state[:, k * TG:(k + 1) * TG] for k in range(tpg)]
@@ -194,21 +203,38 @@ def _beam_kernel(
                     wout_dma(d, 0, 0).start()
                 wih_dma(d, slot, j).wait()
                 col = j * TG
-                gv = (
-                    jnp.dot(x, wih_buf[d][slot], preferred_element_type=f32)
-                    + b_gates_ref[:, col:col + TG]
-                )                                                        # [BW, TG]
                 gate_id, k = col // H, (col % H) // TG
-                if gate_id == 0:
-                    i_parts[k] = jax.nn.sigmoid(gv)
-                elif gate_id == 1:
-                    c_parts[k] = jax.nn.sigmoid(gv) * c_parts[k]
-                elif gate_id == 2:
-                    g_parts[k] = jnp.tanh(gv)
+                if cell == "LSTM":
+                    gv = (
+                        jnp.dot(x, wih_buf[d][slot], preferred_element_type=f32)
+                        + b_gates_ref[:, col:col + TG]
+                    )                                                    # [BW, TG]
+                    if gate_id == 0:
+                        i_parts[k] = jax.nn.sigmoid(gv)
+                    elif gate_id == 1:
+                        c_parts[k] = jax.nn.sigmoid(gv) * c_parts[k]
+                    elif gate_id == 2:
+                        g_parts[k] = jnp.tanh(gv)
+                    else:
+                        c_parts[k] = c_parts[k] + i_parts[k] * g_parts[k]
+                        h_parts[k] = jax.nn.sigmoid(gv) * jnp.tanh(c_parts[k])
                 else:
-                    c_parts[k] = c_parts[k] + i_parts[k] * g_parts[k]
-                    h_parts[k] = jax.nn.sigmoid(gv) * jnp.tanh(c_parts[k])
-            cs[d] = jnp.concatenate(c_parts, axis=1)
+                    gv = (jnp.dot(x, wih_buf[d][slot], preferred_element_type=f32)
+                          + b_gates_ref[:, col:col + TG])                # x + bi
+                    gh = (jnp.dot(h_prev, wh_ref[:, col:col + TG],
+                                  preferred_element_type=f32)
+                          + b_h_ref[:, col:col + TG])                    # h + bh
+                    if gate_id == 0:
+                        i_parts[k] = jax.nn.sigmoid(gv + gh)             # r
+                    elif gate_id == 1:
+                        g_parts[k] = jax.nn.sigmoid(gv + gh)             # z
+                    else:
+                        z = g_parts[k]
+                        n = jnp.tanh(gv + i_parts[k] * gh)
+                        h_parts[k] = ((1.0 - z) * n
+                                      + z * h_f32[:, k * TG:(k + 1) * TG])
+            if cell == "LSTM":
+                cs[d] = jnp.concatenate(c_parts, axis=1)
             hs[d] = jnp.concatenate(h_parts, axis=1)
 
         # ---- 4. fused vocab scoring: streaming lse per decoder + top-W ----
@@ -348,7 +374,7 @@ def _beam_kernel(
     jax.jit,
     static_argnames=(
         "max_caption_len", "beam_width", "beam_alpha", "tile_g", "tile_v",
-        "weight_dtype", "interpret", "vmem_limit_mb",
+        "weight_dtype", "interpret", "vmem_limit_mb", "rnn_types",
     ),
 )
 def beam_decode_pallas(
@@ -363,6 +389,7 @@ def beam_decode_pallas(
     weight_dtype: str = "bfloat16",
     interpret: bool = False,
     vmem_limit_mb: int = 64,
+    rnn_types: tuple = ("LSTM", "LSTM"),
 ) -> jnp.ndarray:
     """Fused beam search over joint (summed) decoder log-probs -> token ids
     ``[B, max_caption_len + 2]`` beginning with SOS — the same contract as
@@ -417,12 +444,13 @@ def beam_decode_pallas(
     emb_blocks = []
     eoff = 0
     for d, (params, feats) in enumerate(zip(decoder_params, feats_list)):
+        cell = rnn_types[d]
         emb = params["embedding"]["table"]
         assert emb.shape[0] == V, "all decoders must share the vocabulary"
         E = emb.shape[1]
         wi, wh = params["rnn"]["wi"], params["rnn"]["wh"]
         K1, H4 = wi.shape
-        H = H4 // 4
+        H = H4 // (4 if cell == "LSTM" else 3)
         F = feats.shape[2]
         ap = params["attention"]
         A = ap["W"].shape[1]
@@ -432,7 +460,7 @@ def beam_decode_pallas(
         if H % TG or TG > H:
             TG = H
         n_g = H4 // TG
-        Kp = _round_up(F + E + H, 256)
+        Kp = _round_up(F + E + H, 256) if cell == "LSTM" else _round_up(F + E, 256)
 
         feats_h = feats.astype(wd)
         keys = (feats_h @ ap["U"].astype(wd)).reshape(B, T * A).astype(wd)
@@ -441,9 +469,22 @@ def beam_decode_pallas(
         for tt in range(T):
             wblk = wblk.at[tt * A:(tt + 1) * A, tt].set(w_vec)
 
-        # x layout [context | embedded | h]; decoder x = [embedded, context]
-        wih = jnp.concatenate([wi[E:], wi[:E], wh], axis=0).astype(wd)
-        wih_p = jnp.zeros((Kp, H4), wd).at[: F + E + H].set(wih)
+        # x layout [context | embedded (| h)]; decoder x = [embedded, context].
+        # LSTM streams fused [wi; wh]; GRU streams wi only (its n-gate keeps
+        # the recurrent bias inside the reset product, so wh stays VMEM-
+        # resident and h-side gates are computed against it in-kernel).
+        if cell == "LSTM":
+            wih = jnp.concatenate([wi[E:], wi[:E], wh], axis=0).astype(wd)
+            wih_p = jnp.zeros((Kp, H4), wd).at[: F + E + H].set(wih)
+            wh_vm = jnp.zeros((8, 128), wd)              # unused placeholder
+            b_gates = (params["rnn"]["bi"] + params["rnn"]["bh"]).astype(f32).reshape(1, H4)
+            b_h = jnp.zeros((1, H4), f32)
+        else:
+            wih = jnp.concatenate([wi[E:], wi[:E]], axis=0).astype(wd)
+            wih_p = jnp.zeros((Kp, H4), wd).at[: F + E].set(wih)
+            wh_vm = wh.astype(wd)                        # [H, 3H] resident
+            b_gates = params["rnn"]["bi"].astype(f32).reshape(1, H4)
+            b_h = params["rnn"]["bh"].astype(f32).reshape(1, H4)
         wih_tiles = wih_p.reshape(Kp, n_g, TG).transpose(1, 0, 2)
 
         wout = params["out"]["w"]
@@ -452,8 +493,6 @@ def beam_decode_pallas(
         b_out = jnp.full((1, Vp), -1e30, f32).at[0, :V].set(
             params["out"]["b"].astype(f32)
         )
-        b_gates = (params["rnn"]["bi"] + params["rnn"]["bh"]).astype(f32).reshape(1, H4)
-
         vmem_ins += [
             feats_h.reshape(B * T, F),
             keys,
@@ -462,6 +501,8 @@ def beam_decode_pallas(
             ap["b"].astype(f32).reshape(1, A),
             b_gates,
             b_out,
+            wh_vm,
+            b_h,
         ]
         hbm_ins += [wih_tiles, wout_tiles]
         scratch += [
@@ -471,7 +512,7 @@ def beam_decode_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ]
         emb_blocks.append((emb, E))
-        dims.append((F, H, A, E, eoff, Kp, TG, n_g, TV, n_v))
+        dims.append((F, H, A, E, eoff, Kp, TG, n_g, TV, n_v, cell))
         eoff += E
 
     # --- concatenated embedding tables, VMEM-resident (Vp x Ecat_p is a
@@ -505,9 +546,8 @@ def beam_decode_pallas(
             )
 
     flops_step = sum(
-        2 * BW * (Kp * H4q + H * Vp) + 2 * BW * BW * H
-        for (F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v), H4q in
-        [(dd, 4 * dd[1]) for dd in dims]
+        2 * BW * (dd[5] * dd[6] * dd[7] + dd[1] * Vp) + 2 * BW * BW * dd[1]
+        for dd in dims
     )
     hist = pl.pallas_call(
         kernel,

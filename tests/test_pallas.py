@@ -271,3 +271,62 @@ def test_pallas_fused_dual_greedy_gru_matches_xla(rng):
         weight_dtype="float32", interpret=True, rnn_types=("GRU", "LSTM"),
     ))
     np.testing.assert_array_equal(tok, ref)
+
+
+def test_pallas_fused_beam_gru_matches_xla(rng):
+    """Beam kernel with GRU decoders (wi-only streaming, VMEM-resident wh):
+    exact token parity vs the XLA scan beam, single and mixed dual."""
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import attention as attn
+    from mvc_tpu.models import beam as beam_mod
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.models.captioning import _beam_init_state
+    from mvc_tpu.ops.pallas_beam import beam_decode_pallas
+
+    gcfg = DecoderConfig(in_feature_size=24, rnn_hidden_size=16, embedding_size=8,
+                         attn_size=8, output_size=29, rnn_type="GRU")
+    lcfg = DecoderConfig(in_feature_size=12, rnn_hidden_size=32, embedding_size=10,
+                         attn_size=8, output_size=29, rnn_type="LSTM")
+    gp = dec.init_decoder(jax.random.PRNGKey(9), gcfg)
+    lp = dec.init_decoder(jax.random.PRNGKey(10), lcfg)
+    B, T, L, W = 3, 4, 8, 3
+    gfeats = jnp.asarray(rng.normal(size=(B, T, 24)).astype(np.float32))
+    lfeats = jnp.asarray(rng.normal(size=(B, T, 12)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[0, 2:] = False
+    mask = jnp.asarray(mask)
+    gkeys = attn.precompute_keys(gp["attention"], gfeats)
+    lkeys = attn.precompute_keys(lp["attention"], lfeats)
+
+    # single GRU decoder
+    def g_step(prev, state):
+        return dec.decoder_beam_step(gp, gcfg, prev, state, gfeats, gkeys, mask, jnp.float32)
+
+    ref = np.asarray(beam_mod.beam_search(
+        g_step, _beam_init_state("GRU", B, W, 16, jnp.float32), B, 29,
+        max_caption_len=L, beam_alpha=0.0, beam_width=W,
+    ))
+    tok = np.asarray(beam_decode_pallas(
+        [gp], [gfeats], feat_mask=mask, max_caption_len=L, beam_width=W,
+        weight_dtype="float32", interpret=True, rnn_types=("GRU",),
+    ))
+    np.testing.assert_array_equal(tok, ref)
+
+    # mixed GRU + LSTM dual, alpha > 0
+    def d_step(prev, state):
+        gs, ls = state
+        glp, gnew = dec.decoder_beam_step(gp, gcfg, prev, gs, gfeats, gkeys, mask, jnp.float32)
+        llp, lnew = dec.decoder_beam_step(lp, lcfg, prev, ls, lfeats, lkeys, mask, jnp.float32)
+        return glp + llp, (gnew, lnew)
+
+    init = (_beam_init_state("GRU", B, W, 16, jnp.float32),
+            _beam_init_state("LSTM", B, W, 32, jnp.float32))
+    ref2 = np.asarray(beam_mod.beam_search(
+        d_step, init, B, 29, max_caption_len=L, beam_alpha=0.7, beam_width=W,
+    ))
+    tok2 = np.asarray(beam_decode_pallas(
+        [gp, lp], [gfeats, lfeats], feat_mask=mask, max_caption_len=L,
+        beam_width=W, beam_alpha=0.7, weight_dtype="float32", interpret=True,
+        rnn_types=("GRU", "LSTM"),
+    ))
+    np.testing.assert_array_equal(tok2, ref2)
