@@ -533,7 +533,7 @@ def beam_decode_pallas(
         Tc=Tc, CR=CR, sos_id=SOS_ID, eos_id=EOS_ID,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    hspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    hspec = pl.BlockSpec(memory_space=pl.ANY)
 
     kwargs = {}
     if not interpret:

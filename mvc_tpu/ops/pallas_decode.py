@@ -301,7 +301,7 @@ def greedy_decode_pallas(
 
     kernel = functools.partial(_decode_kernel, L=L, sos_id=sos_id, cell=rnn_type)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    hspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    hspec = pl.BlockSpec(memory_space=pl.ANY)
 
     tokens = pl.pallas_call(
         kernel,

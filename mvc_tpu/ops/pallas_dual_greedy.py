@@ -325,7 +325,7 @@ def dual_greedy_decode_pallas(
         n_v=n_v, TV=TV, sos_id=sos_id,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    hspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    hspec = pl.BlockSpec(memory_space=pl.ANY)
 
     kwargs = {}
     if not interpret:
