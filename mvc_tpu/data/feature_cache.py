@@ -21,6 +21,18 @@ import numpy as np
 from mvc_tpu.data.dataset import load_clip_features
 
 
+def quantize_int8(x: np.ndarray):
+    """Per-(sample/clip, frame) max-abs int8 quantization over the feature
+    axis -> (int8 payload, f32 scales).  The ONE implementation shared by the
+    trainer's H2D transfer path and the device feature cache — the two must
+    stay numerically identical.  All-zero frames get scale 1.0 (their values
+    are exactly zero either way)."""
+    scale = np.max(np.abs(x), axis=-1, keepdims=True) / 127.0
+    scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+    q = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
 class DeviceFeatureCache:
     """All unique clips' (audio, visual) features stacked to
     ``[N, T_top, D]`` device arrays plus per-clip frame counts.
@@ -79,9 +91,7 @@ class DeviceFeatureCache:
             # int8 transfer path (trainer._put_batch): a raw astype would
             # truncate normalized features to {-1, 0, 1}.
             for name, x in (("audio", audio), ("visual", visual)):
-                scale = np.max(np.abs(x), axis=2, keepdims=True) / 127.0
-                scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
-                q = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+                q, scale = quantize_int8(x)
                 self._arrays[name] = put(q)
                 self._arrays[name + "_scale"] = put(scale)
         else:

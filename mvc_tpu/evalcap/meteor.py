@@ -40,6 +40,31 @@ try:  # C++ aligner (csrc/native.cpp); Python fallback below is identical
 except ImportError:
     _native_mod = None
 
+_native_probed: bool = False
+
+
+def _native_usable() -> bool:
+    """One-time arity probe: a stale .so predating the synonym stage accepts
+    only 6 args — degrade to the identical pure-Python aligner (with a
+    warning) instead of failing every METEOR call.  Probing once up front
+    means real argument-validation TypeErrors from the extension still
+    propagate from actual scoring calls."""
+    global _native_mod, _native_probed
+    if _native_mod is None:
+        return False
+    if not _native_probed:
+        _native_probed = True
+        try:
+            _native_mod.meteor_stats([], [], [], [], 1.0, 0.6, None, None, 0.8)
+        except TypeError:
+            import warnings
+
+            warnings.warn("stale mvc_tpu._native extension (run `make native`); "
+                          "using the pure-Python METEOR aligner", RuntimeWarning)
+            _native_mod = None
+            return False
+    return True
+
 
 class SynonymTable:
     """Word -> synonym-group-ids mapping.  Two words synonym-match when they
@@ -158,27 +183,16 @@ def _segment_stats(
     hyp: Sequence[str], ref: Sequence[str], syn: Optional[SynonymTable] = None
 ):
     """(weighted_matches, total_matches, chunks, len_hyp, len_ref)."""
-    global _native_mod
-    if _native_mod is not None:
+    if _native_usable():
         hyp_syn = [sorted(syn.ids(w)) for w in hyp] if syn is not None else None
         ref_syn = [sorted(syn.ids(w)) for w in ref] if syn is not None else None
-        try:
-            weighted, m, chunks = _native_mod.meteor_stats(
-                list(hyp), list(ref),
-                [porter_stem(w) for w in hyp], [porter_stem(w) for w in ref],
-                STAGE_WEIGHTS[0], STAGE_WEIGHTS[1],
-                hyp_syn, ref_syn, STAGE_WEIGHTS[2],
-            )
-            return weighted, m, chunks, len(hyp), len(ref)
-        except TypeError:
-            # A stale mvc_tpu/_native.so predating the synonym stage (arity
-            # 6, not 9): degrade to the identical pure-Python aligner rather
-            # than failing every METEOR call; `make native` rebuilds.
-            import warnings
-
-            warnings.warn("stale mvc_tpu._native extension (run `make native`); "
-                          "using the pure-Python METEOR aligner", RuntimeWarning)
-            _native_mod = None
+        weighted, m, chunks = _native_mod.meteor_stats(
+            list(hyp), list(ref),
+            [porter_stem(w) for w in hyp], [porter_stem(w) for w in ref],
+            STAGE_WEIGHTS[0], STAGE_WEIGHTS[1],
+            hyp_syn, ref_syn, STAGE_WEIGHTS[2],
+        )
+        return weighted, m, chunks, len(hyp), len(ref)
     matches = _align(hyp, ref, syn)
     weighted = sum(_match_weight(hyp[i], ref[j]) for i, j in matches)
     return weighted, len(matches), _count_chunks(matches), len(hyp), len(ref)

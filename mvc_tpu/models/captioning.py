@@ -200,7 +200,9 @@ class AVCaptioning:
         if mode == "direct":
             from mvc_tpu.ops.dispatch import use_pallas
 
-            if use_pallas():
+            from mvc_tpu.ops.pallas_beam import fits_vmem
+
+            if use_pallas() and fits_vmem([params["decoder"]], [features]):
                 # Whole-decode fused kernel (ops/pallas_decode.py): weights
                 # stream as double-buffered tiles in the model's compute
                 # dtype; tokens-only output.  1.4x the XLA scan at the
@@ -226,11 +228,12 @@ class AVCaptioning:
         cfg = self.decoder_config
         from mvc_tpu.ops.dispatch import use_pallas
 
-        if use_pallas():
+        from mvc_tpu.ops.pallas_beam import beam_decode_pallas, fits_vmem
+
+        if use_pallas() and fits_vmem([params["decoder"]], [features],
+                                      beam_width=beam_width):
             # Fused whole-search kernel (ops/pallas_beam.py): token-id parity
             # with the scan path is asserted in tests/test_pallas.py.
-            from mvc_tpu.ops.pallas_beam import beam_decode_pallas
-
             return beam_decode_pallas(
                 [params["decoder"]], [features], feat_mask=feat_mask,
                 max_caption_len=max_caption_len, beam_width=beam_width,
@@ -374,7 +377,11 @@ class AVCaptioningDual:
             # log-probs are argmaxed (reference src/models/captioning.py:279-288).
             from mvc_tpu.ops.dispatch import use_pallas
 
-            if use_pallas():
+            from mvc_tpu.ops.pallas_beam import fits_vmem
+
+            if use_pallas() and fits_vmem(
+                [params["v_decoder"], params["a_decoder"]], [visual, audio]
+            ):
                 # Whole-decode fused dual kernel (ops/pallas_dual_greedy.py);
                 # parity asserted in tests/test_pallas.py.
                 from mvc_tpu.ops.pallas_dual_greedy import dual_greedy_decode_pallas
@@ -409,11 +416,16 @@ class AVCaptioningDual:
         # reference leaves as FIXME (src/models/captioning.py:269-277).
         from mvc_tpu.ops.dispatch import use_pallas
 
-        if use_pallas() and self.v_config.attn_size == self.a_config.attn_size:
+        from mvc_tpu.ops.pallas_beam import beam_decode_pallas, fits_vmem
+
+        if (
+            use_pallas()
+            and self.v_config.attn_size == self.a_config.attn_size
+            and fits_vmem([params["v_decoder"], params["a_decoder"]],
+                          [visual, audio], beam_width=beam_width)
+        ):
             # Fused whole-search kernel over both decoders' summed log-probs
             # (ops/pallas_beam.py); parity asserted in tests/test_pallas.py.
-            from mvc_tpu.ops.pallas_beam import beam_decode_pallas
-
             return beam_decode_pallas(
                 [params["v_decoder"], params["a_decoder"]], [visual, audio],
                 feat_mask=feat_mask, max_caption_len=max_caption_len,

@@ -11,11 +11,13 @@ ENTIRE beam search in one pallas_call:
   frame mask) are stored once per clip and broadcast to beam rows with
   one-hot matmuls built from iota comparisons (no gathers)
 - small state (features, attention keys, h/c for every decoder, cumulative
-  scores, finished flags, token history) stays in VMEM for all L steps
-- the big matrices stream from HBM double-buffered: the embedding tables
-  (both decoders' tables concatenated on the feature axis — the joint beam
-  feeds ONE token to both decoders), the fused input+recurrent gate weights
-  ``[wi; wh]`` per decoder, and the vocab projections ``wout``
+  scores, finished flags, token history, and the concatenated embedding
+  tables — the joint beam feeds ONE token to both decoders) stays in VMEM
+  for all L steps
+- the big matrices stream from HBM double-buffered: per decoder the gate
+  weights (LSTM: fused input+recurrent ``[wi; wh]``; GRU: ``wi`` only, with
+  ``wh`` VMEM-resident since torch's n-gate keeps its recurrent bias inside
+  the reset product) and the vocab projections ``wout``
 - beam scoring is computed tile-by-tile over the vocabulary: a streaming
   per-decoder logsumexp (for log-softmax) plus a streaming per-row top-W of
   the FUSED logits — the ``[B, W, V]`` log-prob tensor is never materialized.
@@ -28,13 +30,17 @@ ENTIRE beam search in one pallas_call:
   runs on W*W=25 candidates per clip, moved between row- and clip-space with
   iota-built selection matmuls
 - beam regather of h/c/history is a one-hot permutation matmul on the MXU
-- the step loop is a ``lax.fori_loop`` (the body is already hundreds of ops;
-  full unrolling would only slow compilation), with all HBM tile offsets
-  static inside the body
+- the step loop is a ``lax.while_loop`` with an all-finished EARLY EXIT:
+  once a step begins with every beam finished, that step only sorts beams
+  by normalized score and every later step would write token 0 (the
+  history's fill value) under an identity permutation — stopping there is
+  output-identical to the full-L scan, and 2-3x faster on real data where
+  captions EOS well before max length
 
 Token-id parity with the XLA beam path is asserted in tests/test_pallas.py
-(f32 weights, interpret mode) for single and dual decoders, masked and
-unmasked, alpha 0 and alpha>0.
+(f32 weights, interpret mode) for single and dual decoders, LSTM and GRU
+(mixed allowed), masked and unmasked, alpha 0 and alpha>0, and EOS-heavy
+early-exit weights.
 """
 
 from __future__ import annotations
@@ -49,6 +55,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mvc_tpu.config import EOS_ID, SOS_ID
+from mvc_tpu.ops._gates import apply_gate_tile
 
 NEG_INF = -1e9      # matches models/beam.py NEG_INF (dead-beam init score)
 BOTTOM = -3.0e38    # streaming-max sentinel (finite: keeps arithmetic NaN-free)
@@ -57,6 +64,37 @@ BIG_IDX = 1.0e9     # tie-break sentinel index
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def fits_vmem(
+    decoder_params, feats_list, beam_width: int = 1,
+    weight_dtype: str = "bfloat16", vmem_limit_mb: int = 64,
+) -> bool:
+    """Host-side pre-flight: do the kernel's VMEM-RESIDENT operands (the
+    concatenated embedding tables, per-clip features/keys, the one-hot
+    token intermediate) plausibly fit the budget?  The fused kernels keep
+    embeddings on-chip — fine for caption vocabularies (a few MB) but not
+    for e.g. 30k-word vocabs; dispatchers fall back to the XLA scan when
+    this returns False instead of failing at Mosaic compile."""
+    import numpy as np_
+
+    wd = jnp.dtype(weight_dtype).itemsize
+    V = decoder_params[0]["embedding"]["table"].shape[0]
+    Vp = _round_up(V, 1024)
+    ecat_p = _round_up(
+        sum(int(p["embedding"]["table"].shape[1]) for p in decoder_params), 128
+    )
+    B, T, _ = feats_list[0].shape
+    BW = B * int(beam_width)
+    total = Vp * ecat_p * wd                      # resident emb tables
+    total += BW * Vp * 4                          # one-hot f32 intermediate
+    for p, f in zip(decoder_params, feats_list):
+        Bf, Tf, F = f.shape
+        A = p["attention"]["W"].shape[1]
+        H4 = p["rnn"]["wi"].shape[1]
+        total += Bf * Tf * (F + A) * wd           # feats + keys
+        total += 4 * (H4 // 4) * 1024 * wd * 2    # double-buffered w tiles (approx)
+    return total <= int(vmem_limit_mb * 0.75) << 20
 
 
 def _beam_kernel(
@@ -204,35 +242,17 @@ def _beam_kernel(
                 wih_dma(d, slot, j).wait()
                 col = j * TG
                 gate_id, k = col // H, (col % H) // TG
-                if cell == "LSTM":
-                    gv = (
-                        jnp.dot(x, wih_buf[d][slot], preferred_element_type=f32)
-                        + b_gates_ref[:, col:col + TG]
-                    )                                                    # [BW, TG]
-                    if gate_id == 0:
-                        i_parts[k] = jax.nn.sigmoid(gv)
-                    elif gate_id == 1:
-                        c_parts[k] = jax.nn.sigmoid(gv) * c_parts[k]
-                    elif gate_id == 2:
-                        g_parts[k] = jnp.tanh(gv)
-                    else:
-                        c_parts[k] = c_parts[k] + i_parts[k] * g_parts[k]
-                        h_parts[k] = jax.nn.sigmoid(gv) * jnp.tanh(c_parts[k])
-                else:
-                    gv = (jnp.dot(x, wih_buf[d][slot], preferred_element_type=f32)
-                          + b_gates_ref[:, col:col + TG])                # x + bi
+                # LSTM streams fused [wi; wh] (gv is the full preactivation);
+                # GRU streams wi only with wh VMEM-resident.
+                gv = (jnp.dot(x, wih_buf[d][slot], preferred_element_type=f32)
+                      + b_gates_ref[:, col:col + TG])
+                gh = None
+                if cell == "GRU":
                     gh = (jnp.dot(h_prev, wh_ref[:, col:col + TG],
                                   preferred_element_type=f32)
-                          + b_h_ref[:, col:col + TG])                    # h + bh
-                    if gate_id == 0:
-                        i_parts[k] = jax.nn.sigmoid(gv + gh)             # r
-                    elif gate_id == 1:
-                        g_parts[k] = jax.nn.sigmoid(gv + gh)             # z
-                    else:
-                        z = g_parts[k]
-                        n = jnp.tanh(gv + i_parts[k] * gh)
-                        h_parts[k] = ((1.0 - z) * n
-                                      + z * h_f32[:, k * TG:(k + 1) * TG])
+                          + b_h_ref[:, col:col + TG])
+                apply_gate_tile(cell, gate_id, k, gv, gh, i_parts, g_parts,
+                                c_parts, h_parts, h_f32, TG)
             if cell == "LSTM":
                 cs[d] = jnp.concatenate(c_parts, axis=1)
             hs[d] = jnp.concatenate(h_parts, axis=1)
@@ -395,10 +415,11 @@ def beam_decode_pallas(
     ``[B, max_caption_len + 2]`` beginning with SOS — the same contract as
     ``models.beam.beam_search`` driving ``decoder_beam_step``.
 
-    ``decoder_params`` is a list of ``init_decoder`` trees (LSTM only); the
-    dual model passes ``[v_decoder, a_decoder]`` with ``[visual, audio]``
-    features.  Weights stream as ``weight_dtype`` tiles (bf16 perf path, f32
-    for parity tests); all state and scoring accumulate in f32.
+    ``decoder_params`` is a list of ``init_decoder`` trees with matching
+    ``rnn_types`` ("LSTM"/"GRU" per decoder, mixed allowed); the dual model
+    passes ``[v_decoder, a_decoder]`` with ``[visual, audio]`` features.
+    Weights stream as ``weight_dtype`` tiles (bf16 perf path, f32 for parity
+    tests); all state and scoring accumulate in f32.
     """
     n_dec = len(decoder_params)
     assert n_dec == len(feats_list) and n_dec >= 1

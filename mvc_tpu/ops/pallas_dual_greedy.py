@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mvc_tpu.ops._gates import apply_gate_tile
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -131,37 +133,15 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
                 wi_dma(d, slot, j).wait()
                 col = j * TG
                 gate_id, k = col // H, (col % H) // TG
+                gh = (jnp.dot(h_prev, wh_ref[:, col:col + TG],
+                              preferred_element_type=f32)
+                      + (b_h_ref[:, col:col + TG] if cell == "GRU" else 0.0))
+                gv = (jnp.dot(x, wi_buf[d][slot], preferred_element_type=f32)
+                      + b_gates_ref[:, col:col + TG])
                 if cell == "LSTM":
-                    gv = (
-                        jnp.dot(x, wi_buf[d][slot], preferred_element_type=f32)
-                        + jnp.dot(h_prev, wh_ref[:, col:col + TG],
-                                  preferred_element_type=f32)
-                        + b_gates_ref[:, col:col + TG]
-                    )
-                    if gate_id == 0:
-                        i_parts[k] = jax.nn.sigmoid(gv)
-                    elif gate_id == 1:
-                        c_parts[k] = jax.nn.sigmoid(gv) * c_parts[k]
-                    elif gate_id == 2:
-                        g_parts[k] = jnp.tanh(gv)
-                    else:
-                        c_parts[k] = c_parts[k] + i_parts[k] * g_parts[k]
-                        h_parts[k] = jax.nn.sigmoid(gv) * jnp.tanh(c_parts[k])
-                else:
-                    gv = (jnp.dot(x, wi_buf[d][slot], preferred_element_type=f32)
-                          + b_gates_ref[:, col:col + TG])        # x-side + bi
-                    gh = (jnp.dot(h_prev, wh_ref[:, col:col + TG],
-                                  preferred_element_type=f32)
-                          + b_h_ref[:, col:col + TG])            # h-side + bh
-                    if gate_id == 0:
-                        i_parts[k] = jax.nn.sigmoid(gv + gh)     # r
-                    elif gate_id == 1:
-                        g_parts[k] = jax.nn.sigmoid(gv + gh)     # z
-                    else:
-                        z = g_parts[k]
-                        n = jnp.tanh(gv + i_parts[k] * gh)
-                        h_parts[k] = ((1.0 - z) * n
-                                      + z * h_f32[:, k * TG:(k + 1) * TG])
+                    gv = gv + gh                                 # fused preact
+                apply_gate_tile(cell, gate_id, k, gv, gh, i_parts, g_parts,
+                                c_parts, h_parts, h_f32, TG)
             if cell == "LSTM":
                 cs[d] = jnp.concatenate(c_parts, axis=1)
             hs[d] = jnp.concatenate(h_parts, axis=1)

@@ -185,13 +185,11 @@ class Trainer:
             # int8 feature transfer: per-(sample, frame) max-abs scales; the
             # quarter-size payload is dequantized on device right after the
             # copy (4x fewer H2D bytes than f32)
+            from mvc_tpu.data.feature_cache import quantize_int8
+
             for k in ("audio", "visual"):
                 if k in arrays:
-                    v = arrays[k]
-                    scale = np.abs(v).max(axis=-1, keepdims=True) / 127.0
-                    scale = np.maximum(scale, 1e-12).astype(np.float32)
-                    arrays[k] = np.clip(np.round(v / scale), -127, 127).astype(np.int8)
-                    quant_scales[f"{k}_scale"] = scale
+                    arrays[k], quant_scales[f"{k}_scale"] = quantize_int8(arrays[k])
             arrays.update(quant_scales)
         elif self._transfer_dtype is not None:
             arrays = {
@@ -345,9 +343,13 @@ class Trainer:
                     continue
                 key = id(loader.dataset)
                 if key not in caches:
+                    # The cache's frame capacity must cover the ladder the
+                    # LOADER collates with (not cfg's, which can differ) —
+                    # otherwise the bucket clamp re-opens the padding-parity
+                    # bug under mask_padded_features=False.
                     caches[key] = DeviceFeatureCache(
                         loader.dataset, dtype=dtype, mesh=self.mesh,
-                        frame_buckets=tuple(cfg.frame_buckets),
+                        frame_buckets=tuple(loader.frame_buckets),
                     )
                     print(f"Device feature cache: {caches[key].nbytes() / 1e6:.1f} MB "
                           f"({len(caches[key].row_of)} clips, T_top={caches[key].t_top})")
