@@ -45,6 +45,36 @@ def _beam_init_state(rnn_type: str, B: int, W: int, H: int, dtype):
     return (h, h) if rnn_type == "LSTM" else h
 
 
+def _pallas_dispatch(params_list, feats_list, feat_mask, rnn_types,
+                     beam_width, make_kernel):
+    """Shared gate for the fused-kernel fast path: Pallas enabled, the batch
+    shardable over the active mesh (ops/sharded.py; no mesh = direct call),
+    and the VMEM pre-flight passing at the PER-SHARD batch.  Returns the
+    kernel's tokens, or None — the caller then takes the XLA scan path,
+    which GSPMD shards freely (the kernel is never silently replicated or
+    gathered onto one device)."""
+    from mvc_tpu.ops import sharded
+    from mvc_tpu.ops.dispatch import active_mesh, use_pallas
+    from mvc_tpu.ops.pallas_beam import fits_vmem
+
+    if not use_pallas():
+        return None
+    mesh = active_mesh()
+    axes = sharded.batch_axes(mesh, feats_list[0].shape[0])
+    if axes is None:
+        return None
+    if not fits_vmem(params_list, feats_list, beam_width=beam_width,
+                     rnn_types=rnn_types,
+                     batch_div=sharded.axes_size(mesh, axes)):
+        return None
+    kernel = make_kernel()
+    if axes:
+        return sharded.sharded_decode(
+            mesh, axes, kernel, params_list, feats_list, feat_mask
+        )
+    return kernel(params_list, feats_list, feat_mask)
+
+
 def dual_decode_fused(
     v_params, a_params, v_cfg, a_cfg,
     visual, audio, captions,
@@ -198,23 +228,28 @@ class AVCaptioning:
         (reference src/models/captioning.py:131-144)."""
         features = jnp.concatenate([audio, visual], axis=-1)
         if mode == "direct":
-            from mvc_tpu.ops.dispatch import use_pallas
-
-            from mvc_tpu.ops.pallas_beam import fits_vmem
-
-            if use_pallas() and fits_vmem([params["decoder"]], [features]):
+            def make_kernel():
                 # Whole-decode fused kernel (ops/pallas_decode.py): weights
                 # stream as double-buffered tiles in the model's compute
                 # dtype; tokens-only output.  1.4x the XLA scan at the
                 # headline decode shape (BENCH_NOTES.md round 2).
+                from mvc_tpu.ops.dispatch import interpret_mode
                 from mvc_tpu.ops.pallas_decode import greedy_decode_pallas
 
-                return greedy_decode_pallas(
-                    params["decoder"], features, feat_mask=feat_mask,
+                return lambda p, fl, m: greedy_decode_pallas(
+                    p[0], fl[0], feat_mask=m,
                     max_caption_len=max_caption_len,
                     weight_dtype=jnp.dtype(self.dtype).name,
                     rnn_type=self.decoder_config.rnn_type,
+                    interpret=interpret_mode(),
                 )
+
+            tokens = _pallas_dispatch(
+                [params["decoder"]], [features], feat_mask,
+                (self.decoder_config.rnn_type,), 1, make_kernel,
+            )
+            if tokens is not None:
+                return tokens
             outputs, _ = dec.decode(
                 params["decoder"], self.decoder_config, features,
                 captions=None, max_caption_len=max_caption_len,
@@ -226,20 +261,26 @@ class AVCaptioning:
 
         B = features.shape[0]
         cfg = self.decoder_config
-        from mvc_tpu.ops.dispatch import use_pallas
 
-        from mvc_tpu.ops.pallas_beam import beam_decode_pallas, fits_vmem
-
-        if use_pallas() and fits_vmem([params["decoder"]], [features],
-                                      beam_width=beam_width):
+        def make_kernel():
             # Fused whole-search kernel (ops/pallas_beam.py): token-id parity
             # with the scan path is asserted in tests/test_pallas.py.
-            return beam_decode_pallas(
-                [params["decoder"]], [features], feat_mask=feat_mask,
+            from mvc_tpu.ops.dispatch import interpret_mode
+            from mvc_tpu.ops.pallas_beam import beam_decode_pallas
+
+            return lambda p, fl, m: beam_decode_pallas(
+                p, fl, feat_mask=m,
                 max_caption_len=max_caption_len, beam_width=beam_width,
                 beam_alpha=beam_alpha, weight_dtype=jnp.dtype(self.dtype).name,
-                rnn_types=(cfg.rnn_type,),
+                rnn_types=(cfg.rnn_type,), interpret=interpret_mode(),
             )
+
+        tokens = _pallas_dispatch(
+            [params["decoder"]], [features], feat_mask,
+            (cfg.rnn_type,), beam_width, make_kernel,
+        )
+        if tokens is not None:
+            return tokens
         feats = features.astype(self.dtype)
         keys = attn.precompute_keys(params["decoder"]["attention"], feats)
 
@@ -375,23 +416,26 @@ class AVCaptioningDual:
         if mode == "direct":
             # Each decoder free-runs on its own argmax, then the fused
             # log-probs are argmaxed (reference src/models/captioning.py:279-288).
-            from mvc_tpu.ops.dispatch import use_pallas
-
-            from mvc_tpu.ops.pallas_beam import fits_vmem
-
-            if use_pallas() and fits_vmem(
-                [params["v_decoder"], params["a_decoder"]], [visual, audio]
-            ):
+            def make_kernel():
                 # Whole-decode fused dual kernel (ops/pallas_dual_greedy.py);
                 # parity asserted in tests/test_pallas.py.
+                from mvc_tpu.ops.dispatch import interpret_mode
                 from mvc_tpu.ops.pallas_dual_greedy import dual_greedy_decode_pallas
 
-                return dual_greedy_decode_pallas(
-                    [params["v_decoder"], params["a_decoder"]], [visual, audio],
-                    feat_mask=feat_mask, max_caption_len=max_caption_len,
+                return lambda p, fl, m: dual_greedy_decode_pallas(
+                    p, fl, feat_mask=m, max_caption_len=max_caption_len,
                     weight_dtype=jnp.dtype(self.dtype).name,
                     rnn_types=(self.v_config.rnn_type, self.a_config.rnn_type),
+                    interpret=interpret_mode(),
                 )
+
+            tokens = _pallas_dispatch(
+                [params["v_decoder"], params["a_decoder"]], [visual, audio],
+                feat_mask, (self.v_config.rnn_type, self.a_config.rnn_type),
+                1, make_kernel,
+            )
+            if tokens is not None:
+                return tokens
             if self.fused_scan:
                 v_outputs, _, a_outputs, _ = dual_decode_fused(
                     params["v_decoder"], params["a_decoder"], self.v_config, self.a_config,
@@ -414,25 +458,28 @@ class AVCaptioningDual:
 
         # Joint fused-logit beam — a working implementation of the path the
         # reference leaves as FIXME (src/models/captioning.py:269-277).
-        from mvc_tpu.ops.dispatch import use_pallas
-
-        from mvc_tpu.ops.pallas_beam import beam_decode_pallas, fits_vmem
-
-        if (
-            use_pallas()
-            and self.v_config.attn_size == self.a_config.attn_size
-            and fits_vmem([params["v_decoder"], params["a_decoder"]],
-                          [visual, audio], beam_width=beam_width)
-        ):
+        def make_kernel():
             # Fused whole-search kernel over both decoders' summed log-probs
             # (ops/pallas_beam.py); parity asserted in tests/test_pallas.py.
-            return beam_decode_pallas(
-                [params["v_decoder"], params["a_decoder"]], [visual, audio],
-                feat_mask=feat_mask, max_caption_len=max_caption_len,
+            from mvc_tpu.ops.dispatch import interpret_mode
+            from mvc_tpu.ops.pallas_beam import beam_decode_pallas
+
+            return lambda p, fl, m: beam_decode_pallas(
+                p, fl, feat_mask=m, max_caption_len=max_caption_len,
                 beam_width=beam_width, beam_alpha=beam_alpha,
                 weight_dtype=jnp.dtype(self.dtype).name,
                 rnn_types=(self.v_config.rnn_type, self.a_config.rnn_type),
+                interpret=interpret_mode(),
             )
+
+        if self.v_config.attn_size == self.a_config.attn_size:
+            tokens = _pallas_dispatch(
+                [params["v_decoder"], params["a_decoder"]], [visual, audio],
+                feat_mask, (self.v_config.rnn_type, self.a_config.rnn_type),
+                beam_width, make_kernel,
+            )
+            if tokens is not None:
+                return tokens
         B = visual.shape[0]
         v_feats = visual.astype(self.dtype)
         a_feats = audio.astype(self.dtype)

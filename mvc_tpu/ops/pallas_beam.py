@@ -69,31 +69,51 @@ def _round_up(x: int, m: int) -> int:
 def fits_vmem(
     decoder_params, feats_list, beam_width: int = 1,
     weight_dtype: str = "bfloat16", vmem_limit_mb: int = 64,
+    rnn_types: Optional[Sequence[str]] = None, batch_div: int = 1,
+    tile_g: int = 256, tile_v: int = 1024,
 ) -> bool:
-    """Host-side pre-flight: do the kernel's VMEM-RESIDENT operands (the
-    concatenated embedding tables, per-clip features/keys, the one-hot
-    token intermediate) plausibly fit the budget?  The fused kernels keep
-    embeddings on-chip — fine for caption vocabularies (a few MB) but not
-    for e.g. 30k-word vocabs; dispatchers fall back to the XLA scan when
-    this returns False instead of failing at Mosaic compile."""
-    import numpy as np_
+    """Host-side pre-flight: do the kernel's VMEM-RESIDENT operands plausibly
+    fit the budget?  Accounts for the beam kernel's layout (the heaviest of
+    the three fused kernels): the concatenated embedding tables, per-clip
+    features + attention keys, the block-diagonal energy matrix ``wblk``, a
+    GRU's VMEM-resident recurrent weights ``wh``, the double-buffered
+    streaming tiles, the one-hot embedding intermediate, and the dominant
+    live f32 activations — each cell type using its actual gate count.
 
+    ``batch_div`` divides the batch for the per-shard check under the
+    shard_map composition (ops/sharded.py).  The 25% margin absorbs Mosaic
+    padding and scheduling slack, but a passing pre-flight cannot *guarantee*
+    a Mosaic compile on exotic shapes — dispatchers treat ``False`` as "take
+    the XLA scan", never as a hard error, and a compile failure remains
+    possible in principle (none observed at the reference configs)."""
     wd = jnp.dtype(weight_dtype).itemsize
     V = decoder_params[0]["embedding"]["table"].shape[0]
-    Vp = _round_up(V, 1024)
+    TVr = min(int(tile_v), _round_up(V, 128))
+    Vp = _round_up(V, TVr)
     ecat_p = _round_up(
         sum(int(p["embedding"]["table"].shape[1]) for p in decoder_params), 128
     )
     B, T, _ = feats_list[0].shape
+    B = -(-B // max(1, int(batch_div)))           # per-shard batch
     BW = B * int(beam_width)
     total = Vp * ecat_p * wd                      # resident emb tables
     total += BW * Vp * 4                          # one-hot f32 intermediate
-    for p, f in zip(decoder_params, feats_list):
-        Bf, Tf, F = f.shape
+    for d, (p, f) in enumerate(zip(decoder_params, feats_list)):
+        cell = rnn_types[d] if rnn_types is not None else "LSTM"
+        _, Tf, F = f.shape
         A = p["attention"]["W"].shape[1]
+        E = p["embedding"]["table"].shape[1]
         H4 = p["rnn"]["wi"].shape[1]
-        total += Bf * Tf * (F + A) * wd           # feats + keys
-        total += 4 * (H4 // 4) * 1024 * wd * 2    # double-buffered w tiles (approx)
+        H = H4 // (4 if cell == "LSTM" else 3)
+        TG = tile_g if (tile_g <= H and H % tile_g == 0) else H
+        Kp = (_round_up(F + E + H, 256) if cell == "LSTM"
+              else _round_up(F + E, 256))
+        total += B * Tf * (F + A) * wd            # feats + keys (stored per clip)
+        total += Tf * A * Tf * wd                 # block-diagonal energy matrix
+        if cell == "GRU":
+            total += H * H4 * wd                  # resident recurrent weights
+        total += 2 * (Kp * TG + H * TVr) * wd     # double-buffered w tiles
+        total += 4 * BW * (Kp + H4 + TVr + H)     # live f32 activations
     return total <= int(vmem_limit_mb * 0.75) << 20
 
 

@@ -78,6 +78,13 @@ class Trainer:
         self.display_freq = display_freq
         self.eval_freq = eval_freq
         self.mesh = mesh
+        if mesh is not None:
+            # Register the mesh so the Pallas fast path shards its fused
+            # kernels over it (ops/sharded.py) instead of GSPMD gathering a
+            # dp-sharded predict batch onto one device.
+            from mvc_tpu.ops.dispatch import set_mesh
+
+            set_mesh(mesh)
         self.summary_writer = _make_writer(log_dir)
         self._predict_cache: Dict = {}
         self._transfer_dtype = None
@@ -162,7 +169,21 @@ class Trainer:
 
     def _get_predict_fn(self, model, max_caption_len: int, mode: str = "direct",
                         beam_width: int = 5, beam_alpha: float = 0.0):
-        key = (id(model), max_caption_len, mode, beam_width, beam_alpha)
+        # Key by the model's *configuration*, not id(model): models are
+        # stateless config holders, so two instances with equal configs trace
+        # identically — and a recycled id() from a GC'd model must not alias
+        # a stale cache entry.
+        import jax.numpy as jnp
+
+        model_key = (
+            type(model).__name__,
+            getattr(model, "decoder_config", None),
+            getattr(model, "v_config", None),
+            getattr(model, "a_config", None),
+            getattr(model, "fused_scan", None),
+            jnp.dtype(model.dtype).name,
+        )
+        key = (model_key, max_caption_len, mode, beam_width, beam_alpha)
         if key not in self._predict_cache:
             self._predict_cache[key] = jax.jit(
                 lambda p, a, v, m: model.predict_tokens(
