@@ -2,9 +2,10 @@
 //
 // Native equivalents of the reference's Java metric components (the only
 // native code in the reference, SURVEY.md §2.2):
-//   * meteor_stats : the METEOR alignment search (exact + stem stages,
-//                    closest-occurrence matching, chunk counting) —
-//                    replaces meteor-1.5.jar's aligner hot path
+//   * meteor_stats : the METEOR alignment search (exact/stem/synonym
+//                    candidate pairs; beam search maximizing matches, then
+//                    minimizing chunks, then distance) — replaces
+//                    meteor-1.5.jar's aligner hot path
 //   * ptb_tokenize : Penn-Treebank word tokenization with the COCO
 //                    punctuation-strip contract — replaces the CoreNLP
 //                    PTBTokenizer subprocess
@@ -19,7 +20,9 @@
 #include <algorithm>
 #include <cctype>
 #include <cstdint>
+#include <map>
 #include <string>
+#include <tuple>
 #include <unordered_map>
 #include <vector>
 
@@ -49,42 +52,37 @@ PyObject* strings_to_list(const std::vector<std::string>& v) {
 }
 
 // ------------------------------------------------------------------ METEOR
-// Staged greedy alignment identical to mvc_tpu.evalcap.meteor._align:
-// per stage (exact keys, then stem keys), each unmatched hyp word matches the
-// closest unmatched ref occurrence of the same key.
-struct Match {
-  int h;
-  int r;
+// Meteor-1.5 alignment SEARCH, identical to mvc_tpu.evalcap.meteor._align:
+// over all one-to-one matchings drawn from the exact/stem/synonym candidate
+// pairs, pick the one that lexicographically (1) maximizes matches,
+// (2) minimizes chunks, (3) minimizes summed |i-j| distance, (4) maximizes
+// summed stage weight.  Beam search over hypothesis positions with exact
+// per-(used-ref-mask, last-match) dominance; ref sentences are capped at 64
+// words (the mask width) — the Python wrapper routes longer ones to its own
+// unbounded-mask implementation.
+constexpr int kBeamWidth = 512;  // matches meteor.py BEAM_WIDTH
+
+struct AlignState {
+  uint64_t mask = 0;     // used ref positions
+  int last_h = -2;       // last matched hyp position
+  int last_r = -2;       // last matched ref position
+  int matches = 0;
+  int chunks = 0;
+  int dist = 0;
+  double weighted = 0.0;
 };
 
-void run_stage(const std::vector<std::string>& hyp_keys,
-               const std::vector<std::string>& ref_keys,
-               std::vector<char>& hyp_used, std::vector<char>& ref_used,
-               std::vector<Match>& matches) {
-  // index ref keys -> positions
-  std::unordered_map<std::string, std::vector<int>> ref_index;
-  for (int j = 0; j < static_cast<int>(ref_keys.size()); ++j) {
-    ref_index[ref_keys[j]].push_back(j);
-  }
-  for (int i = 0; i < static_cast<int>(hyp_keys.size()); ++i) {
-    if (hyp_used[i]) continue;
-    auto it = ref_index.find(hyp_keys[i]);
-    if (it == ref_index.end()) continue;
-    int best_j = -1, best_d = INT32_MAX;
-    for (int j : it->second) {
-      if (ref_used[j]) continue;
-      int d = std::abs(i - j);
-      if (d < best_d) {
-        best_d = d;
-        best_j = j;
-      }
-    }
-    if (best_j >= 0) {
-      hyp_used[i] = 1;
-      ref_used[best_j] = 1;
-      matches.push_back({i, best_j});
-    }
-  }
+bool align_better(const AlignState& a, const AlignState& b) {
+  if (a.matches != b.matches) return a.matches > b.matches;
+  if (a.chunks != b.chunks) return a.chunks < b.chunks;
+  if (a.dist != b.dist) return a.dist < b.dist;
+  if (a.weighted != b.weighted) return a.weighted > b.weighted;
+  // Strict total order from here down (identical in meteor.py _align):
+  // score-irrelevant, but makes the beam cut and the final argmin
+  // deterministic and C++ == Python exact.
+  if (a.mask != b.mask) return a.mask < b.mask;
+  if (a.last_h != b.last_h) return a.last_h < b.last_h;
+  return a.last_r < b.last_r;
 }
 
 // Synonym stage: per-word sets of synonym-group ids; a pair matches when the
@@ -135,82 +133,101 @@ bool sorted_intersects(const std::vector<int64_t>& a,
   return false;
 }
 
-void run_synonym_stage(const std::vector<std::vector<int64_t>>& hyp_ids,
-                       const std::vector<std::vector<int64_t>>& ref_ids,
-                       std::vector<char>& hyp_used, std::vector<char>& ref_used,
-                       std::vector<Match>& matches) {
-  for (int i = 0; i < static_cast<int>(hyp_ids.size()); ++i) {
-    if (hyp_used[i] || hyp_ids[i].empty()) continue;
-    int best_j = -1, best_d = INT32_MAX;
-    for (int j = 0; j < static_cast<int>(ref_ids.size()); ++j) {
-      if (ref_used[j] || ref_ids[j].empty()) continue;
-      if (!sorted_intersects(hyp_ids[i], ref_ids[j])) continue;
-      int d = std::abs(i - j);
-      if (d < best_d) {
-        best_d = d;
-        best_j = j;
-      }
-    }
-    if (best_j >= 0) {
-      hyp_used[i] = 1;
-      ref_used[best_j] = 1;
-      matches.push_back({i, best_j});
-    }
-  }
-}
-
 // meteor_stats(hyp, ref, hyp_stems, ref_stems[, exact_weight, stem_weight,
-//              hyp_syn, ref_syn, syn_weight]) -> (weighted, matches, chunks)
+//              hyp_syn, ref_syn, syn_weight, beam]) -> (weighted, matches, chunks)
 // hyp_syn/ref_syn: per-word lists of synonym-group ids (or None) enabling the
 // stage-3 synonym matcher (meteor-1.5 weight 0.8).
 PyObject* meteor_stats(PyObject*, PyObject* args) {
   PyObject *hyp_o, *ref_o, *hyp_s_o, *ref_s_o;
   PyObject *hyp_syn_o = Py_None, *ref_syn_o = Py_None;
   double w_exact = 1.0, w_stem = 0.6, w_syn = 0.8;
-  if (!PyArg_ParseTuple(args, "O!O!O!O!|ddOOd", &PyList_Type, &hyp_o, &PyList_Type,
+  int beam = kBeamWidth;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!|ddOOdi", &PyList_Type, &hyp_o, &PyList_Type,
                         &ref_o, &PyList_Type, &hyp_s_o, &PyList_Type, &ref_s_o,
-                        &w_exact, &w_stem, &hyp_syn_o, &ref_syn_o, &w_syn)) {
+                        &w_exact, &w_stem, &hyp_syn_o, &ref_syn_o, &w_syn, &beam)) {
     return nullptr;
   }
   auto hyp = list_to_strings(hyp_o);
   auto ref = list_to_strings(ref_o);
   auto hyp_stems = list_to_strings(hyp_s_o);
   auto ref_stems = list_to_strings(ref_s_o);
+  if (ref.size() > 64) {
+    PyErr_SetString(PyExc_ValueError,
+                    "meteor_stats: reference longer than 64 words (mask "
+                    "width); use the Python aligner");
+    return nullptr;
+  }
 
-  std::vector<char> hyp_used(hyp.size(), 0), ref_used(ref.size(), 0);
-  std::vector<Match> matches;
-  run_stage(hyp, ref, hyp_used, ref_used, matches);
-  run_stage(hyp_stems, ref_stems, hyp_used, ref_used, matches);
-  if (hyp_syn_o != Py_None && ref_syn_o != Py_None) {
-    std::vector<std::vector<int64_t>> hyp_ids, ref_ids;
+  bool use_syn = hyp_syn_o != Py_None && ref_syn_o != Py_None;
+  std::vector<std::vector<int64_t>> hyp_ids, ref_ids;
+  if (use_syn) {
     if (!list_to_id_sets(hyp_syn_o, hyp_ids) ||
         !list_to_id_sets(ref_syn_o, ref_ids)) {
       return nullptr;
     }
-    run_synonym_stage(hyp_ids, ref_ids, hyp_used, ref_used, matches);
   }
-  std::sort(matches.begin(), matches.end(),
-            [](const Match& a, const Match& b) {
-              return a.h < b.h || (a.h == b.h && a.r < b.r);
-            });
 
-  // Stage weight inferred in stage order: exact, then stem; any surviving
-  // non-stem-equal pair can only have come from the synonym stage.
-  double weighted = 0.0;
-  for (const auto& m : matches) {
-    if (hyp[m.h] == ref[m.r]) weighted += w_exact;
-    else if (hyp_stems[m.h] == ref_stems[m.r]) weighted += w_stem;
-    else weighted += w_syn;
-  }
-  int chunks = matches.empty() ? 0 : 1;
-  for (size_t k = 1; k < matches.size(); ++k) {
-    if (!(matches[k].h == matches[k - 1].h + 1 &&
-          matches[k].r == matches[k - 1].r + 1)) {
-      ++chunks;
+  // Candidate pairs; a pair takes its EARLIEST matching stage's weight
+  // (module order exact, stem, synonym — so stem stays 0.6 even when the
+  // words also share a synonym group).
+  const int n = static_cast<int>(hyp.size());
+  const int m = static_cast<int>(ref.size());
+  std::vector<std::vector<std::pair<int, double>>> cand(n);
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j < m; ++j) {
+      double w;
+      if (hyp[i] == ref[j]) w = w_exact;
+      else if (hyp_stems[i] == ref_stems[j]) w = w_stem;
+      else if (use_syn && !hyp_ids[i].empty() && !ref_ids[j].empty() &&
+               sorted_intersects(hyp_ids[i], ref_ids[j])) w = w_syn;
+      else continue;
+      cand[i].emplace_back(j, w);
     }
   }
-  return Py_BuildValue("(dii)", weighted, static_cast<int>(matches.size()),
-                       chunks);
+
+  // Beam search over hypothesis positions (see header comment).  States with
+  // equal (mask, last_h, last_r) have identical futures -> exact dominance.
+  std::map<std::tuple<uint64_t, int, int>, AlignState> states;
+  std::vector<AlignState> beam_states{AlignState{}};
+  std::vector<AlignState> pool;
+  for (int i = 0; i < n; ++i) {
+    states.clear();
+    auto push = [&states](const AlignState& s) {
+      auto k = std::make_tuple(s.mask, s.last_h, s.last_r);
+      auto it = states.find(k);
+      if (it == states.end() || align_better(s, it->second)) states[k] = s;
+    };
+    for (const auto& st : beam_states) {
+      push(st);  // leave hyp[i] unmatched
+      for (const auto& [j, w] : cand[i]) {
+        if (st.mask >> j & 1) continue;
+        AlignState nx = st;
+        nx.mask |= 1ULL << j;
+        nx.chunks += (st.last_h == i - 1 && st.last_r == j - 1) ? 0 : 1;
+        nx.last_h = i;
+        nx.last_r = j;
+        nx.matches += 1;
+        nx.dist += std::abs(i - j);
+        nx.weighted += w;
+        push(nx);
+      }
+    }
+    pool.clear();
+    pool.reserve(states.size());
+    for (auto& kv : states) pool.push_back(kv.second);
+    if (static_cast<int>(pool.size()) > beam) {
+      std::nth_element(pool.begin(), pool.begin() + beam, pool.end(),
+                       align_better);
+      pool.resize(beam);
+    }
+    beam_states.swap(pool);
+  }
+
+  const AlignState* best = &beam_states[0];
+  for (const auto& st : beam_states) {
+    if (align_better(st, *best)) best = &st;
+  }
+  return Py_BuildValue("(dii)", best->weighted, best->matches, best->chunks);
 }
 
 // ------------------------------------------------------------------ LCS
