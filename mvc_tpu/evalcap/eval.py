@@ -54,8 +54,18 @@ class COCOEvalCap:
         self._meteor_synonyms = meteor_synonyms
         # SPICE is opt-in via a POS lexicon — the reference keeps it commented
         # out of its harness (pycocoevalcap/eval.py:44); see evalcap/spice.py.
-        self._spice_lexicon = spice_lexicon
-        self._spice_synonyms = spice_synonyms
+        # Constructor args win; the MVC_SPICE_LEXICON / MVC_SPICE_SYNONYMS env
+        # vars are the no-code-change fallback.
+        import os
+
+        self._spice_lexicon = (
+            spice_lexicon if spice_lexicon is not None
+            else os.environ.get("MVC_SPICE_LEXICON") or None
+        )
+        self._spice_synonyms = (
+            spice_synonyms if spice_synonyms is not None
+            else os.environ.get("MVC_SPICE_SYNONYMS") or None
+        )
         self.eval: Dict[str, float] = {}
         self.imgToEval: Dict[str, Dict[str, float]] = {}
 

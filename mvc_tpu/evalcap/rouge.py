@@ -38,19 +38,17 @@ class Rouge:
     def calc_score(self, candidate: List[str], refs: List[str]) -> float:
         assert len(candidate) == 1
         assert len(refs) > 0
-        token_c = candidate[0].split(" ")
-        prec, rec = [], []
-        for reference in refs:
-            token_r = reference.split(" ")
-            lcs = lcs_length(token_r, token_c)
-            prec.append(lcs / float(len(token_c)))
-            rec.append(lcs / float(len(token_r)))
-        prec_max, rec_max = max(prec), max(rec)
-        if prec_max != 0 and rec_max != 0:
-            return ((1 + self.beta ** 2) * prec_max * rec_max) / float(
-                rec_max + self.beta ** 2 * prec_max
-            )
-        return 0.0
+        hyp_words = candidate[0].split(" ")
+        best_p = best_r = 0.0
+        for ref_sentence in refs:
+            ref_words = ref_sentence.split(" ")
+            common = lcs_length(ref_words, hyp_words)
+            best_p = max(best_p, common / float(len(hyp_words)))
+            best_r = max(best_r, common / float(len(ref_words)))
+        if best_p == 0.0 or best_r == 0.0:
+            return 0.0
+        b2 = self.beta ** 2
+        return (1 + b2) * best_p * best_r / float(best_r + b2 * best_p)
 
     def compute_score(self, gts: Dict[str, List[str]], res: Dict[str, List[str]]):
         assert sorted(gts.keys()) == sorted(res.keys())

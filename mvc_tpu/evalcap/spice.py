@@ -96,6 +96,10 @@ class PosLexicon:
                 if not line or line.startswith("#"):
                     continue
                 fields = line.split()
+                if len(fields) < 2:
+                    raise ValueError(
+                        f"lexicon line needs 'word pos[,pos...]': {line!r}"
+                    )
                 word = fields[0].lower()
                 poses = tuple(p for p in fields[1].lower().split(",") if p)
                 for p in poses:
@@ -293,10 +297,22 @@ def _tuples_match(a: Tuple[str, ...], b: Tuple[str, ...],
 
 def _prf(cand: Set[Tuple[str, ...]], ref: Set[Tuple[str, ...]],
          syn: Optional[SynonymTable]) -> Dict[str, float]:
-    matched = sum(1 for t in cand if any(_tuples_match(t, r, syn) for r in ref))
-    rmatched = sum(1 for t in ref if any(_tuples_match(t, c, syn) for c in cand))
+    """Original SPICE semantics: ONE one-to-one binary matching between the
+    deduplicated tuple sets, its size used as both numerators (each reference
+    tuple matches at most one candidate tuple, so a candidate matching N
+    synonym-equivalent reference tuples still counts once in P *and* R).
+    With exact equality this equals |cand & ref| on both sides; it only
+    differs under many-to-many synonym matches."""
+    unmatched = list(ref)
+    matched = 0
+    for t in cand:
+        for i, r in enumerate(unmatched):
+            if _tuples_match(t, r, syn):
+                del unmatched[i]
+                matched += 1
+                break
     p = matched / len(cand) if cand else 0.0
-    r = rmatched / len(ref) if ref else 0.0
+    r = matched / len(ref) if ref else 0.0
     f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
     return {"f": f, "pr": p, "re": r}
 
