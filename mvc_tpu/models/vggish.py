@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 EMBEDDING_SIZE = 128
-_FLAT = 512 * 6 * 4     # channels x H x W after 4 pools of [96, 64] (torch CHW flatten)
+_FLAT = 6 * 4 * 512     # H x W x channels after 4 pools of [96, 64] (HWC flatten, as torchvggish)
 
 
 def _conv_init(key, kh, kw, cin, cout):
@@ -80,9 +80,11 @@ def vggish_embeddings(params, examples: jnp.ndarray, postprocess: bool = True) -
     x = _max_pool_2x2(_conv_relu(params["conv3_2"], x))
     x = _conv_relu(params["conv4_1"], x)
     x = _max_pool_2x2(_conv_relu(params["conv4_2"], x))
-    # torch flattens CHW; transpose so converted FC weights line up.
-    n = x.shape[0]
-    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
+    # torchvggish permutes NCHW->NHWC before flattening (vggish.py
+    # transpose(1,3)+transpose(1,2), keeping the TF original's HWC order),
+    # so our native NHWC layout flattens directly — converted FC weights
+    # line up without any transpose.
+    x = x.reshape(x.shape[0], -1)
     x = jax.nn.relu(x @ params["fc1_1"]["w"] + params["fc1_1"]["b"])
     x = jax.nn.relu(x @ params["fc1_2"]["w"] + params["fc1_2"]["b"])
     x = jax.nn.relu(x @ params["fc2"]["w"] + params["fc2"]["b"])
