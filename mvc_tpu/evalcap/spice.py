@@ -28,7 +28,13 @@ This module implements that metric for real, clean-room, in two parts:
    guitar on stage"): NP chunks ``det? num? (adj|noun)* noun`` yield objects
    and attributes, verb groups ``aux* verb adv*`` yield relations between
    the clause subject and the following NP, prepositions attach the next NP
-   head to the clause subject (or to the copula subject).  POS comes from a
+   head to the clause subject (or to the copula subject).  Two SPICE-paper
+   behaviors are replicated exactly (validated against the paper's Figure-1
+   worked example in tests/test_spice.py): an intransitive verb becomes an
+   ATTRIBUTE of its subject (SPICE folds unary relations into attributes —
+   "a giraffe standing ..." -> ``(giraffe, standing)``), and compound
+   prepositions ("on top of", "in front of", ...) are merged into a single
+   relation label (``(girl, on top of, court)``).  POS comes from a
    user-supplied lexicon file — one ``word pos[,pos...] [lemma]`` per line —
    with noun as the unknown-word default (captions are noun-heavy).
 
@@ -159,6 +165,10 @@ def _tag(tokens: Sequence[str], lex: PosLexicon) -> List[Tuple[str, str, str]]:
     out: List[Tuple[str, str, str]] = []
     prev_pos = None
     for tok in tokens:
+        if " " in tok:                   # merged compound preposition
+            out.append((tok, "prep", tok))
+            prev_pos = "prep"
+            continue
         poses, lemma = lex.lookup(tok)
         pos = poses[0]
         if len(poses) > 1:
@@ -176,6 +186,30 @@ def _tag(tokens: Sequence[str], lex: PosLexicon) -> List[Tuple[str, str, str]]:
     return out
 
 
+# Compound prepositions merged into one relation label, the way SPICE's
+# collapsed dependencies label e.g. "on top of" as a single edge.
+_COMPOUND_PREPS = (
+    ("on", "top", "of"), ("in", "front", "of"), ("in", "the", "middle", "of"),
+    ("next", "to"), ("out", "of"), ("inside", "of"), ("close", "to"),
+    ("on", "the", "side", "of"),
+)
+
+
+def _merge_compound_preps(tokens: List[str]) -> List[str]:
+    out: List[str] = []
+    i = 0
+    while i < len(tokens):
+        for comp in _COMPOUND_PREPS:
+            if tuple(tokens[i : i + len(comp)]) == comp:
+                out.append(" ".join(comp))
+                i += len(comp)
+                break
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
 def parse_scene_graph(
     caption: str,
     lexicon: PosLexicon,
@@ -183,7 +217,9 @@ def parse_scene_graph(
     """Caption -> set of SPICE tuples: ``(obj,)``, ``(obj, attr)``,
     ``(subj, rel, obj)``.  Deterministic chunker over the POS stream; see
     module docstring for the grammar."""
-    tokens = [t for t in caption.strip().lower().split() if t]
+    tokens = _merge_compound_preps(
+        [t for t in caption.strip().lower().split() if t]
+    )
     tagged = _tag(tokens, lexicon)
 
     tuples: Set[Tuple[str, ...]] = set()
@@ -250,6 +286,11 @@ def parse_scene_graph(
                 if subject and obj:
                     tuples.add((subject, lem, obj))
                     i = j
+            elif subject:
+                # No object NP: SPICE folds the unary relation into an
+                # attribute of its subject ("a giraffe standing" ->
+                # (giraffe, standing), Anderson et al. 2016 Fig. 1).
+                tuples.add((subject, lem))
             i += 1
         elif pos == "aux":
             subject = subject or np_before(i)

@@ -181,3 +181,65 @@ def test_cocoevalcap_with_spice():
     # default harness stays SPICE-free (reference pycocoevalcap/eval.py:44)
     coco2 = COCOEvalCap(gts, res)
     assert "SPICE" not in coco2.evaluate()
+
+
+# ------------------------------------------------- SPICE paper worked example
+PAPER_LEX = PosLexicon({
+    "young": (("adj",), "young"),
+    "girl": (("noun",), "girl"),
+    "standing": (("verb",), "standing"),
+    "tennis": (("noun",), "tennis"),
+    "court": (("noun",), "court"),
+    "giraffe": (("noun",), "giraffe"),
+    "green": (("adj",), "green"),
+    "field": (("noun",), "field"),
+})
+
+
+def test_paper_figure1_girl_scene_graph():
+    """Anderson et al. 2016, Figure 1: "A young girl standing on top of a
+    tennis court" parses to objects {girl, court}, attributes
+    {(girl, young), (girl, standing), (court, tennis)} and the single
+    relation (girl, on top of, court) — external ground truth for the
+    chunker, exercising both the unary-verb->attribute fold and the
+    compound-preposition merge."""
+    g = parse_scene_graph("a young girl standing on top of a tennis court",
+                          PAPER_LEX)
+    assert g == {
+        ("girl",), ("court",),
+        ("girl", "young"), ("girl", "standing"), ("court", "tennis"),
+        ("girl", "on top of", "court"),
+    }
+
+
+def test_paper_figure1_giraffe_scene_graph():
+    """Anderson et al. 2016, Figure 1 (right): "A giraffe standing on top
+    of a green field"."""
+    g = parse_scene_graph("a giraffe standing on top of a green field",
+                          PAPER_LEX)
+    assert g == {
+        ("giraffe",), ("field",),
+        ("giraffe", "standing"), ("field", "green"),
+        ("giraffe", "on top of", "field"),
+    }
+
+
+def test_paper_graphs_cross_score():
+    """Hand-derived F between the two Figure-1 graphs: the only common
+    tuple shapes are the standing attribute (subject differs) — exact
+    matching yields 0; with a {girl, giraffe} + {court, field} synonym
+    table, 4 of 6 candidate tuples match ((girl,), (court,),
+    (girl, standing), (girl, on top of, court)) against 4 of 5 reference
+    tuples: P=4/6, R=4/5, F=2PR/(P+R)."""
+    cand = parse_scene_graph("a young girl standing on top of a tennis court",
+                             PAPER_LEX)
+    ref = parse_scene_graph("a giraffe standing on top of a green field",
+                            PAPER_LEX)
+    plain = score_tuples(cand, [ref], None)
+    assert plain["All"]["f"] == 0.0
+    syn = SynonymTable([["girl", "giraffe"], ["court", "field"]])
+    s = score_tuples(cand, [ref], syn)
+    p, r = 4 / 6, 4 / 5
+    assert s["All"]["pr"] == pytest.approx(p)
+    assert s["All"]["re"] == pytest.approx(r)
+    assert s["All"]["f"] == pytest.approx(2 * p * r / (p + r))
