@@ -42,3 +42,43 @@ def test_build_vocab_cli(tmp_path):
 
     vocab = Vocabulary.load(str(root / "vocab.json"))
     assert "guitar" in vocab.stoi
+
+
+def test_rehearse_real_data_synthetic(tmp_path):
+    """The real-data rehearsal runbook end to end with synthetic stand-ins:
+    oracle-weight conversion -> batched extraction -> vocab -> 1-epoch fit
+    with device feature cache -> scores (scripts/rehearse_real_data.py).
+    With MVC_WEIGHTS_DIR/MVC_DATA_DIR mounted the same path runs on real
+    checkpoints/media (reference src/extract_features.py:109-166 +
+    src/train.py:351-549)."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        pytest.skip("cv2 unavailable")
+    spec = importlib.util.spec_from_file_location(
+        "rehearse_real_data",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "rehearse_real_data.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    os.environ.pop("MVC_WEIGHTS_DIR", None)
+    os.environ.pop("MVC_DATA_DIR", None)
+    summary = mod.main([
+        "--out", str(tmp_path), "--epochs", "1", "--batch_size", "4",
+        "--eval_mode", "direct", "--reconstructor", "none",
+        "--n_clips", "3", "--clip_seconds", "2.0", "--frame_bucket", "8",
+    ])
+    assert summary["extracted"]["done"] >= 1
+    assert summary["extracted"]["failures"] == 0
+    assert summary["real_weights"] is False and summary["real_data"] is False
+    import numpy as np
+
+    assert np.isfinite(summary["final_train_loss"])
+    assert "CIDEr" in summary["val_score"]
