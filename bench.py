@@ -177,7 +177,12 @@ def bench_train() -> dict:
     from mvc_tpu.training.trainer import Trainer
 
     cfg = TrainerConfig(batch_size=TRAIN_B)
-    model = AVCaptioningDual(vocab_size=VOCAB, reconstructor_type="global")
+    # Production fast path (--dtype bfloat16): f32 master params, bf16
+    # compute via the trainer's one-per-step param pre-cast — 1.27x the f32
+    # step at this workload with ~1e-3 loss parity (BENCH_NOTES round 3,
+    # tests/test_trainer.py::test_bf16_compute_train_step_parity).
+    model = AVCaptioningDual(vocab_size=VOCAB, reconstructor_type="global",
+                             dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0))
     tr = Trainer("bench", log_dir=None)
     tr._optimizer = opt_lib.make_optimizer(cfg)

@@ -103,11 +103,31 @@ class Trainer:
             compat_batch_axis_entropy=getattr(cfg, "compat_batch_axis_entropy", False),
         )
         mask_feats = cfg.mask_padded_features
+        # Mixed precision: when the model computes in bf16, cast the f32
+        # master params to bf16 ONCE per step, outside the decode/reconstruct
+        # scans.  The per-use .astype inside the scan bodies then becomes a
+        # no-op, so the dominant HBM traffic (decoder + reconstructor weights
+        # re-streamed every scan step, forward and backward) moves at half
+        # width.  Gradients flow through the cast back to the f32 masters;
+        # Adam state stays f32.  Relying on XLA to hoist the in-scan casts
+        # does NOT achieve this: measured on v5e at the bench workload
+        # (B=128, T=28, dual+global recon), in-scan casts win 3% over f32
+        # while this pre-cast wins 27% (7.7 -> 6.05 ms/step), with final
+        # loss parity to ~1e-3 over 100 steps (BENCH_NOTES round 3).
+        compute = jnp.dtype(model.dtype)
+
+        def cast_params(params):
+            if compute != jnp.dtype(jnp.bfloat16):
+                return params
+            return jax.tree.map(
+                lambda p: p.astype(compute) if p.dtype == jnp.float32 else p,
+                params,
+            )
 
         def compute_loss(params, batch, rng, tf_ratio):
             feat_mask = batch["feat_mask"] if mask_feats else None
             outputs, a_rec, v_rec = model.forward(
-                params, batch["audio"], batch["visual"], batch["captions"],
+                cast_params(params), batch["audio"], batch["visual"], batch["captions"],
                 rng=rng, teacher_forcing_ratio=tf_ratio, feat_mask=feat_mask,
             )
             loss, ce, ent, a_l, v_l = loss_fn(

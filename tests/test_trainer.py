@@ -264,3 +264,55 @@ def test_device_feature_cache_int8_dequantizes(synthetic_msvd):
         scale = np.max(np.abs(ref), axis=2, keepdims=True)
         np.testing.assert_allclose(got, ref, atol=float(scale.max()) / 127 + 1e-7)
         assert np.corrcoef(ref.ravel(), got.ravel())[0, 1] > 0.999
+
+
+def test_bf16_compute_train_step_parity():
+    """Mixed precision (--dtype bfloat16): the train step pre-casts f32
+    master params to bf16 once per step (trainer._build_train_step), so the
+    scan-streamed weights move at half width.  Params and Adam state must
+    stay f32; losses must track the f32 run closely over several steps."""
+    import jax.numpy as jnp
+
+    from mvc_tpu.training import optimizer as opt_lib
+
+    gen = np.random.default_rng(0)
+    B, T, L, V = 6, 8, 10, 50
+    batch = {
+        "audio": jnp.asarray(gen.normal(size=(B, T, 128)).astype(np.float32)),
+        "visual": jnp.asarray(gen.normal(size=(B, T, 2048)).astype(np.float32)),
+        "captions": jnp.asarray(np.concatenate([
+            np.full((1, B), 1, np.int32),
+            gen.integers(3, V, size=(L - 1, B), dtype=np.int32),
+        ])),
+        "feat_mask": jnp.ones((B, T), bool),
+    }
+    losses = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model = AVCaptioningDual(
+            vocab_size=V, teacher_forcing_ratio=1.0, reconstructor_type="global",
+            visual_decoder_config=V_CFG, audio_decoder_config=A_CFG, dtype=dtype,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        cfg = TrainerConfig()
+        tr = Trainer(checkpoint_name="bf16_parity", log_dir=None)
+        tr._optimizer = opt_lib.make_optimizer(cfg)
+        train_step, _ = tr._build_train_step(model, cfg)
+        opt_state = tr._optimizer.init(params)
+        trace = []
+        for _ in range(5):
+            params, opt_state, m = train_step(params, opt_state, batch,
+                                              jax.random.PRNGKey(1))
+            trace.append(float(m["total"]))
+        losses[jnp.dtype(dtype).name] = trace
+        # master params stay f32 regardless of compute dtype
+        assert all(
+            leaf.dtype == np.float32
+            for leaf in jax.tree.leaves(params)
+            if np.issubdtype(leaf.dtype, np.floating)
+        )
+
+    f32, bf16 = losses["float32"], losses["bfloat16"]
+    assert all(np.isfinite(x) for x in bf16)
+    np.testing.assert_allclose(bf16, f32, rtol=0.02)
+    # both descend on repeated steps over the same batch
+    assert bf16[-1] < bf16[0]
