@@ -228,10 +228,10 @@ def bench_extract(clip_root: str) -> dict:
     fe = FeatureExtractor(fps=1)
     feat_dir = os.path.join(clip_root, "features")
     shutil.rmtree(feat_dir, ignore_errors=True)
-    fe.extract_dataset(videos, feat_dir, batch_size=16, verbose=False)  # warmup/compile
+    fe.extract_dataset(videos, feat_dir, batch_size=8, verbose=False)  # warmup/compile
     shutil.rmtree(feat_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    stats = fe.extract_dataset(videos, feat_dir, batch_size=16, verbose=False)
+    stats = fe.extract_dataset(videos, feat_dir, batch_size=8, verbose=False)
     dt = time.perf_counter() - t0
     assert stats["done"] == N_CLIPS, stats
 

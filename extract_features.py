@@ -2,7 +2,7 @@
 """Feature-extraction CLI (reference src/extract_features.py:109-166 surface):
 
     python extract_features.py --dataset datasets/MSVD [--gpu -1]
-                               [--batch_size 16] [--fps 1]
+                               [--batch_size 8] [--fps 1]
                                [--inception_weights W.pkl] [--vggish_weights W.pkl]
 
 Writes ``features/video/<clip>.npy`` [T, 2048] and ``features/audio/<clip>.npy``
@@ -23,7 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", required=True, help="dataset root containing videos/")
     ap.add_argument("--gpu", default="-1", help="ignored (interface compat)")
-    ap.add_argument("--batch_size", default=16, type=int, help="clips per device batch")
+    ap.add_argument("--batch_size", default=8, type=int, help="clips per device batch (8 keeps the decode thread overlapped with the H2D+encode of the previous chunk)")
     ap.add_argument("--fps", default=1, type=float)
     ap.add_argument("--inception_weights", default=None)
     ap.add_argument("--vggish_weights", default=None)

@@ -320,3 +320,34 @@ def test_vggish_oracle_full_pipeline_parity(rng):
         expected = oracle(wav, 16000).numpy()
     assert ours.shape == expected.shape
     np.testing.assert_allclose(ours, expected, rtol=1e-3, atol=1e-3)
+
+
+# ----------------------------------------------------- sampled-decode parity
+@pytest.mark.slow
+@pytest.mark.parametrize("codec,ext", [("MJPG", ".avi"), ("mp4v", ".mp4")])
+def test_load_frames_sampled_decode_parity(tmp_path, codec, ext):
+    """The fast loader (seek for intra codecs / grab-skip for inter) must be
+    bitwise-identical to the reference-shaped full decode+convert+resize
+    path it replaces (reference src/extract_features.py:69-106)."""
+    import cv2
+
+    from mvc_tpu.extract import video_io
+
+    path = str(tmp_path / f"clip_0_3{ext}")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*codec), 8, (64, 48))
+    if not w.isOpened():
+        pytest.skip(f"cv2 VideoWriter cannot encode {codec} here")
+    gen = np.random.default_rng(0)
+    for _ in range(25):                       # ~3 s @ 8 fps
+        # smooth frames so lossy codecs round-trip deterministically
+        w.write(np.full((48, 64, 3), gen.integers(0, 255), np.uint8))
+    w.release()
+
+    for fps in (1, 2, None):
+        fast, dur_fast = video_io.load_frames(path, fps=fps)
+        cap = cv2.VideoCapture(path)
+        rate = float(np.round(cap.get(cv2.CAP_PROP_FPS))) or 25.0
+        full, dur_full = video_io._load_frames_full(cap, (299, 299), fps, rate)
+        cap.release()
+        np.testing.assert_array_equal(fast, full, err_msg=f"{codec} fps={fps}")
+        assert dur_fast == pytest.approx(dur_full)
