@@ -25,8 +25,13 @@ def main():
     ap.add_argument("--gpu", default="-1", help="ignored (interface compat)")
     ap.add_argument("--batch_size", default=8, type=int, help="clips per device batch (8 keeps the decode thread overlapped with the H2D+encode of the previous chunk)")
     ap.add_argument("--fps", default=1, type=float)
-    ap.add_argument("--inception_weights", default=None)
+    ap.add_argument("--inception_weights", default=None,
+                    help="pickled torch state_dict for the selected visual model")
     ap.add_argument("--vggish_weights", default=None)
+    ap.add_argument("--visual_model", default="inception_v3",
+                    choices=("inception_v3", "resnet"),
+                    help="visual backbone (reference VisualEncoder's model switch; "
+                         "resnet = ResNet-101 at 224px, 1000-d logit features — PARITY.md)")
     args = ap.parse_args()
 
     assert os.path.isdir(args.dataset), "The specified directory does not exist"
@@ -41,7 +46,13 @@ def main():
     inception_params = None
     if args.inception_weights:
         with open(args.inception_weights, "rb") as f:
-            inception_params = iv3.convert_torchvision_state_dict(pickle.load(f))
+            sd = pickle.load(f)
+        if args.visual_model == "resnet":
+            from mvc_tpu.models import resnet as rn
+
+            inception_params = rn.convert_torchvision_state_dict(sd)
+        else:
+            inception_params = iv3.convert_torchvision_state_dict(sd)
     vggish_params = None
     if args.vggish_weights:
         with open(args.vggish_weights, "rb") as f:
@@ -56,6 +67,7 @@ def main():
         inception_params=inception_params,
         vggish_params=vggish_params,
         fps=args.fps,
+        visual_model=args.visual_model,
     )
     stats = fe.extract_dataset(videos_dir, features_dir, batch_size=args.batch_size)
     print(stats)

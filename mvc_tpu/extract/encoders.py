@@ -10,8 +10,11 @@ import numpy as np
 
 
 class VisualEncoder:
-    """Per-frame CNN embedding: frames -> [N, 2048] (or [B, T, 2048] for
-    stacked 5-D input, like the reference's frame-stacking path)."""
+    """Per-frame CNN embedding: frames -> [N, D] (or [B, T, D] for stacked
+    5-D input, like the reference's frame-stacking path).  ``model`` mirrors
+    the reference's switch (src/models/visual_encoder.py:23-30):
+    "inception_v3" -> 2048-d pooled features at 299px; "resnet" ->
+    ResNet-101 at 224px whose fc is KEPT, i.e. 1000-d logits (PARITY.md)."""
 
     def __init__(self, model: str = "inception_v3", normalize: bool = True,
                  trainable: bool = False, params=None, scale_to_unit: bool = False):
@@ -19,18 +22,27 @@ class VisualEncoder:
 
         from mvc_tpu.models import inception_v3 as iv3
 
-        assert model == "inception_v3", f"unsupported visual encoder {model}"
         del trainable  # inference-only, like the reference with trainable=False
         self.normalize = normalize
         self.scale_to_unit = scale_to_unit
-        self.params = params if params is not None else iv3.init_inception_v3(jax.random.PRNGKey(0))
-        self.input_size = (299, 299)
+        if model == "resnet":
+            from mvc_tpu.models import resnet as rn
+
+            self.params = params if params is not None else rn.init_resnet101(jax.random.PRNGKey(0))
+            self.input_size = (224, 224)
+            features = rn.resnet101_features
+        elif model == "inception_v3":
+            self.params = params if params is not None else iv3.init_inception_v3(jax.random.PRNGKey(0))
+            self.input_size = (299, 299)
+            features = iv3.inception_v3_features
+        else:
+            raise AssertionError(f"unsupported visual encoder {model}")
 
         def forward(p, frames):
             x = frames
             if self.normalize:
                 x = iv3.imagenet_normalize(x, scale_to_unit=self.scale_to_unit)
-            return iv3.inception_v3_features(p, x)
+            return features(p, x)
 
         self._forward = jax.jit(forward)
 

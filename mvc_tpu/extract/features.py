@@ -11,6 +11,9 @@ clip's frames, run VGGish on that clip's audio, save, repeat
 - outputs are split back per clip and saved with the reference's ``.npy``
   contract (``features/video/<id>.npy`` [T,2048], ``features/audio/<id>.npy``
   [N,128]) including skip-existing behavior (:153-156)
+- with ``mesh=``, the flattened frame/example batch shards over every mesh
+  device (extraction is embarrassingly clip-parallel — SURVEY §2.3); weights
+  replicate and no collectives run in the encode programs
 """
 
 from __future__ import annotations
@@ -35,6 +38,11 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
 
 
+def _round_to_shards(n: int, shards: int) -> int:
+    """Padded batch must divide the mesh for batch-axis sharding."""
+    return ((n + shards - 1) // shards) * shards
+
+
 class FeatureExtractor:
     """Batched Inception-v3 + VGGish extractor.
 
@@ -53,6 +61,8 @@ class FeatureExtractor:
         scale_to_unit: bool = False,
         decode_workers: Optional[int] = None,
         seed: int = 0,
+        visual_model: str = "inception_v3",
+        mesh=None,
     ):
         # cv2 decode scales with real cores; oversubscribing one core is a
         # slowdown (this container has a single CPU)
@@ -63,10 +73,27 @@ class FeatureExtractor:
         from mvc_tpu.models import inception_v3 as iv3
         from mvc_tpu.models import vggish as vg
 
-        if inception_params is None:
-            inception_params = iv3.init_inception_v3(jax.random.PRNGKey(seed))
+        # ``visual_model`` mirrors the reference VisualEncoder's ``model``
+        # switch (reference src/models/visual_encoder.py:23-30): "resnet" is
+        # ResNet-101 at 224x224 whose fc is kept (1000-d logit "features" —
+        # PARITY.md); default Inception-v3 at 299x299 -> 2048-d pooled.
+        if visual_model == "resnet":
+            from mvc_tpu.models import resnet as rn
+
+            if inception_params is None:
+                inception_params = rn.init_resnet101(jax.random.PRNGKey(seed))
+            self.frame_size = (224, 224)
+            visual_features = rn.resnet101_features
+        elif visual_model == "inception_v3":
+            if inception_params is None:
+                inception_params = iv3.init_inception_v3(jax.random.PRNGKey(seed))
+            self.frame_size = (299, 299)
+            visual_features = iv3.inception_v3_features
+        else:
+            raise ValueError(f"unknown visual_model {visual_model!r}")
         if vggish_params is None:
             vggish_params = vg.init_vggish(jax.random.PRNGKey(seed + 1))
+        self.visual_model = visual_model
         self.inception_params = inception_params
         self.vggish_params = vggish_params
         self.fps = fps
@@ -77,49 +104,73 @@ class FeatureExtractor:
 
         def encode_frames(params, frames_u8):
             x = iv3.imagenet_normalize(frames_u8, scale_to_unit=self.scale_to_unit)
-            return iv3.inception_v3_features(params, x)
+            return visual_features(params, x)
 
         def encode_audio(params, examples):
             return vg.vggish_embeddings(params, examples)
 
-        self._encode_frames = jax.jit(encode_frames)
-        self._encode_audio = jax.jit(encode_audio)
+        # Extraction is embarrassingly clip-parallel (SURVEY §2.3): with a
+        # mesh, the flattened frame/example batch shards over EVERY mesh
+        # device (dp AND tp axes — encoding has no vocab axis to tp-shard,
+        # so both axes carry batch) and weights replicate; XLA runs each
+        # shard's convolutions locally with no collectives.  Buckets are
+        # rounded up to the device count in the encode helpers.
+        self.mesh = mesh
+        self._n_shards = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._n_shards = int(np.prod(list(mesh.shape.values())))
+            self._batch_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+            self._replicated = NamedSharding(mesh, P())
+            self.inception_params = jax.device_put(self.inception_params, self._replicated)
+            self.vggish_params = jax.device_put(self.vggish_params, self._replicated)
+            self._encode_frames = jax.jit(
+                encode_frames, in_shardings=(self._replicated, self._batch_sharding)
+            )
+            self._encode_audio = jax.jit(
+                encode_audio, in_shardings=(self._replicated, self._batch_sharding)
+            )
+        else:
+            self._encode_frames = jax.jit(encode_frames)
+            self._encode_audio = jax.jit(encode_audio)
 
     # ------------------------------------------------------------ decode
     def _decode_one(self, filename: str, fps: Optional[float] = None):
         from mvc_tpu.extract.video_io import load_audio, load_frames
 
-        frames, duration = load_frames(filename, fps=self.fps if fps is None else fps)
+        frames, duration = load_frames(
+            filename, frame_size=self.frame_size, fps=self.fps if fps is None else fps
+        )
         wav = load_audio(filename, duration_hint=duration)
         return frames, wav
 
     # ------------------------------------------------------------ encode
     def _encode_frame_stack(self, all_frames: np.ndarray) -> np.ndarray:
-        """[M, 299, 299, 3] uint8 -> [M, 2048], padded to a bucket."""
-        import jax.numpy as jnp
-
+        """[M, H, W, 3] uint8 -> [M, D] visual features, padded to a bucket
+        (inception_v3: 299px -> 2048-d; resnet: 224px -> 1000-d logits)."""
         m = all_frames.shape[0]
-        target = _bucket(m, self.frame_buckets)
+        target = _round_to_shards(_bucket(m, self.frame_buckets), self._n_shards)
         if target != m:
             all_frames = np.concatenate(
                 [all_frames, np.zeros((target - m, *all_frames.shape[1:]), all_frames.dtype)]
             )
-        out = np.asarray(self._encode_frames(self.inception_params, jnp.asarray(all_frames)))
+        # numpy in: under a mesh, jit's in_shardings places each batch shard
+        # on its device directly (committed single-device arrays would not).
+        out = np.asarray(self._encode_frames(self.inception_params, all_frames))
         return out[:m]
 
     def _encode_audio_stack(self, examples: np.ndarray) -> np.ndarray:
         """[M, 96, 64] -> [M, 128], padded to a bucket."""
-        import jax.numpy as jnp
-
         m = examples.shape[0]
         if m == 0:
             return np.zeros((0, 128), np.float32)
-        target = _bucket(m, self.audio_buckets)
+        target = _round_to_shards(_bucket(m, self.audio_buckets), self._n_shards)
         if target != m:
             examples = np.concatenate(
                 [examples, np.zeros((target - m, *examples.shape[1:]), examples.dtype)]
             )
-        out = np.asarray(self._encode_audio(self.vggish_params, jnp.asarray(examples)))
+        out = np.asarray(self._encode_audio(self.vggish_params, examples))
         return out[:m]
 
     # ------------------------------------------------------------ public

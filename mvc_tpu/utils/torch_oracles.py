@@ -205,6 +205,84 @@ def build_torch_inception_v3(transform_input: bool = True):
     return TorchInceptionV3().eval()
 
 
+# ------------------------------------------------------------------ resnet
+def build_torch_resnet101():
+    """torchvision resnet101 stand-in (random init, eval mode): Bottleneck
+    [3, 4, 23, 3], state-dict keys IDENTICAL to torchvision's so
+    ``mvc_tpu.models.resnet.convert_torchvision_state_dict`` accepts
+    ``oracle.state_dict()`` directly.  The reference keeps ``fc`` (1000-d
+    logits out — reference src/models/visual_encoder.py:23-25, PARITY.md)."""
+    torch = _torch()
+    nn = torch.nn
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, cin, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(y + identity)
+
+    class TorchResNet101(nn.Module):
+        def __init__(self, layers=(3, 4, 23, 3)):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = self._make_layer(64, layers[0], 1)
+            self.layer2 = self._make_layer(128, layers[1], 2)
+            self.layer3 = self._make_layer(256, layers[2], 2)
+            self.layer4 = self._make_layer(512, layers[3], 2)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = nn.Linear(512 * 4, 1000)
+
+        def _make_layer(self, planes, blocks, stride):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * 4:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
+                    nn.BatchNorm2d(planes * 4),
+                )
+            mods = [Bottleneck(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * 4
+            mods += [Bottleneck(self.inplanes, planes) for _ in range(1, blocks)]
+            return nn.Sequential(*mods)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = self.avgpool(x).flatten(1)
+            return self.fc(x)
+
+    model = TorchResNet101().eval()
+    # Random running stats so BN folding is actually exercised (fresh BN has
+    # mean=0/var=1, which would mask transpose/eps mistakes).
+    gen = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=gen) * 0.1)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=gen) + 0.5)
+    return model
+
+
 # ------------------------------------------------------------------ vggish
 # AudioSet frontend constants (torchvggish mel_features.py defaults).
 _SR = 16000
@@ -335,10 +413,7 @@ def install_reference_extractor_stubs() -> None:
             build_torch_inception_v3()
         )
     if not hasattr(tv.models, "resnet101"):
-        def _no_resnet(*a, **kw):
-            raise NotImplementedError("resnet101 oracle not provided")
-
-        tv.models.resnet101 = _no_resnet
+        tv.models.resnet101 = lambda pretrained=False, **kw: build_torch_resnet101()
     if not hasattr(tv.transforms, "Normalize"):
         class Normalize(nn.Module):
             def __init__(self, mean, std):
