@@ -56,8 +56,14 @@ def _pallas_dispatch(params_list, feats_list, feat_mask, rnn_types,
     from mvc_tpu.ops import sharded
     from mvc_tpu.ops.dispatch import active_mesh, use_pallas
     from mvc_tpu.ops.pallas_beam import fits_vmem
+    from mvc_tpu.ops.quant import is_quantized_decoder
 
     if not use_pallas():
+        return None
+    # int8 weight-only decode (ops/quant.py) targets the large-batch XLA
+    # scan; the fused kernels stream plain tiles and can't take quantized
+    # trees.
+    if any(is_quantized_decoder(p) for p in params_list):
         return None
     mesh = active_mesh()
     axes = sharded.batch_axes(mesh, feats_list[0].shape[0])
@@ -134,6 +140,49 @@ def dual_decode_fused(
         pad0(v_outs, v_cfg.output_size), pad0(v_hids, v_cfg.rnn_hidden_size),
         pad0(a_outs, a_cfg.output_size), pad0(a_hids, a_cfg.rnn_hidden_size),
     )
+
+
+def dual_greedy_tokens_fused(
+    v_params, a_params, v_cfg, a_cfg,
+    visual, audio,
+    max_caption_len: int,
+    feat_mask, dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Tokens-only dual direct decode (one scan, both decoders): each decoder
+    free-runs on its own argmax while the output stream argmaxes the fused
+    log-probs per step (reference src/models/captioning.py:279-288) — same
+    math as ``greedy_tokens(a_outputs + v_outputs)`` over the stacked decode,
+    but the two [L, B, V] log-prob stacks never materialize (the dominant
+    HBM traffic at bulk offline-scoring batch sizes, BENCH_NOTES round 3).
+
+    Returns [B, L] int32 tokens (position 0 = 0, the stacked contract)."""
+    B = visual.shape[0]
+    L = int(max_caption_len)
+    v_feats = visual.astype(dtype)
+    a_feats = audio.astype(dtype)
+    v_keys = attn.precompute_keys(v_params["attention"], v_feats)
+    a_keys = attn.precompute_keys(a_params["attention"], a_feats)
+    init = (
+        jnp.full((B,), 1, dtype=jnp.int32),   # SOS
+        rnn.init_state(v_cfg.rnn_type, B, v_cfg.rnn_hidden_size, dtype),
+        jnp.full((B,), 1, dtype=jnp.int32),
+        rnn.init_state(a_cfg.rnn_type, B, a_cfg.rnn_hidden_size, dtype),
+    )
+
+    def step(carry, _):
+        v_prev, v_state, a_prev, a_state = carry
+        v_logp, v_new, _ = dec.decoder_step(
+            v_params, v_cfg, v_prev, v_state, v_feats, v_keys, feat_mask, dtype)
+        a_logp, a_new, _ = dec.decoder_step(
+            a_params, a_cfg, a_prev, a_state, a_feats, a_keys, feat_mask, dtype)
+        v_next = jnp.argmax(v_logp, -1).astype(jnp.int32)
+        a_next = jnp.argmax(a_logp, -1).astype(jnp.int32)
+        fused = jnp.argmax(v_logp + a_logp, -1).astype(jnp.int32)
+        return (v_next, v_new, a_next, a_new), fused
+
+    _, toks = jax.lax.scan(step, init, None, length=L - 1)
+    zeros = jnp.zeros((1, B), jnp.int32)
+    return jnp.concatenate([zeros, toks], axis=0).T
 
 
 def captions_from_tokens(vocab, tokens) -> List[str]:
@@ -250,12 +299,11 @@ class AVCaptioning:
             )
             if tokens is not None:
                 return tokens
-            outputs, _ = dec.decode(
+            return dec.decode_greedy_tokens(
                 params["decoder"], self.decoder_config, features,
-                captions=None, max_caption_len=max_caption_len,
+                max_caption_len=max_caption_len,
                 feat_mask=feat_mask, dtype=self.dtype,
             )
-            return dec.greedy_tokens(outputs)
         if mode != "beam":
             raise ValueError(f"mode must be 'direct' or 'beam', got {mode}")
 
@@ -436,23 +484,11 @@ class AVCaptioningDual:
             )
             if tokens is not None:
                 return tokens
-            if self.fused_scan:
-                v_outputs, _, a_outputs, _ = dual_decode_fused(
-                    params["v_decoder"], params["a_decoder"], self.v_config, self.a_config,
-                    visual, audio, captions=None, teacher_forcing_ratio=0.0,
-                    rng=None, feat_mask=feat_mask, dtype=self.dtype,
-                    max_caption_len=max_caption_len,
-                )
-            else:
-                v_outputs, _ = dec.decode(
-                    params["v_decoder"], self.v_config, visual, captions=None,
-                    max_caption_len=max_caption_len, feat_mask=feat_mask, dtype=self.dtype,
-                )
-                a_outputs, _ = dec.decode(
-                    params["a_decoder"], self.a_config, audio, captions=None,
-                    max_caption_len=max_caption_len, feat_mask=feat_mask, dtype=self.dtype,
-                )
-            return dec.greedy_tokens(a_outputs + v_outputs)
+            return dual_greedy_tokens_fused(
+                params["v_decoder"], params["a_decoder"], self.v_config,
+                self.a_config, visual, audio, max_caption_len=max_caption_len,
+                feat_mask=feat_mask, dtype=self.dtype,
+            )
         if mode != "beam":
             raise ValueError(f"mode must be 'direct' or 'beam', got {mode}")
 

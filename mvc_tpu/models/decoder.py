@@ -27,6 +27,7 @@ from mvc_tpu.config import DecoderConfig, SOS_ID
 from mvc_tpu.models import attention as attn
 from mvc_tpu.models import rnn
 from mvc_tpu.models.initializers import embedding_params, linear_params
+from mvc_tpu.ops import quant
 
 
 def init_decoder(key, cfg: DecoderConfig, dtype=jnp.float32):
@@ -67,7 +68,8 @@ def decoder_step(
     x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
     _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
     h_new = rnn.state_hidden(cfg.rnn_type, new_state)
-    logits = (h_new @ params["out"]["w"].astype(dtype) + params["out"]["b"].astype(dtype)).astype(jnp.float32)
+    logits = (h_new @ quant.wmat(params["out"]["w"], dtype)
+              + params["out"]["b"].astype(dtype)).astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     return log_probs, new_state, weights
 
@@ -132,6 +134,42 @@ def greedy_tokens(outputs: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(outputs, axis=2).T
 
 
+def decode_greedy_tokens(
+    params,
+    cfg: DecoderConfig,
+    feats: jnp.ndarray,                    # [B, T, F]
+    max_caption_len: int = 30,
+    feat_mask: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Tokens-only greedy decode: the same per-step math as
+    ``greedy_tokens(decode(captions=None)[0])`` but the argmax runs inside
+    the scan and only [L, B] token ids ever leave it — the [L, B, V]
+    log-prob stack (30 x 1024 x 4000 f32 = 492 MB per decoder at the bulk
+    offline-scoring shape) is never materialized.  Bitwise-identical tokens:
+    position 0 is the stacked contract's argmax-of-zeros = 0.
+
+    Returns [B, L] int32 (same contract as ``greedy_tokens``)."""
+    B = feats.shape[0]
+    L = int(max_caption_len)
+    feats = feats.astype(dtype)
+    keys = attn.precompute_keys(params["attention"], feats)
+    init_state = rnn.init_state(cfg.rnn_type, B, cfg.rnn_hidden_size, dtype)
+    init_prev = jnp.full((B,), SOS_ID, dtype=jnp.int32)
+
+    def step(carry, _):
+        prev, state = carry
+        log_probs, new_state, _ = decoder_step(
+            params, cfg, prev, state, feats, keys, feat_mask, dtype
+        )
+        top1 = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+        return (top1, new_state), top1
+
+    _, toks = jax.lax.scan(step, (init_prev, init_state), None, length=L - 1)
+    zeros = jnp.zeros((1, B), jnp.int32)
+    return jnp.concatenate([zeros, toks], axis=0).T
+
+
 def decoder_beam_step(
     params,
     cfg: DecoderConfig,
@@ -160,5 +198,6 @@ def decoder_beam_step(
     x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
     _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
     h_new = rnn.state_hidden(cfg.rnn_type, new_state)
-    logits = (h_new @ params["out"]["w"].astype(dtype) + params["out"]["b"].astype(dtype)).astype(jnp.float32)
+    logits = (h_new @ quant.wmat(params["out"]["w"], dtype)
+              + params["out"]["b"].astype(dtype)).astype(jnp.float32)
     return jax.nn.log_softmax(logits, axis=-1), new_state

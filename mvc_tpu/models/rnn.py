@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from mvc_tpu.models.initializers import rnn_params
+from mvc_tpu.ops.quant import wmat
 
 
 def init_lstm(key, in_size: int, hidden_size: int, dtype=jnp.float32):
@@ -33,8 +34,10 @@ def lstm_step(params, x: jnp.ndarray, state: Tuple[jnp.ndarray, jnp.ndarray]):
     carry (params stay f32 master copies)."""
     h, c = state
     d = x.dtype
+    # wmat: plain astype, or fused int8 dequant for weight-only-quantized
+    # decode (ops/quant.py — opt-in, inference only)
     gates = (
-        x @ params["wi"].astype(d) + h @ params["wh"].astype(d)
+        x @ wmat(params["wi"], d) + h @ wmat(params["wh"], d)
         + (params["bi"] + params["bh"]).astype(d)
     )
     i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -50,8 +53,8 @@ def gru_step(params, x: jnp.ndarray, state: jnp.ndarray):
     """
     h = state
     d = x.dtype
-    gi = x @ params["wi"].astype(d) + params["bi"].astype(d)
-    gh = h @ params["wh"].astype(d) + params["bh"].astype(d)
+    gi = x @ wmat(params["wi"], d) + params["bi"].astype(d)
+    gh = h @ wmat(params["wh"], d) + params["bh"].astype(d)
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(i_r + h_r)

@@ -154,3 +154,44 @@ def test_feat_mask_equals_truncation(rng):
         teacher_forcing_ratio=1.0, rng=jax.random.PRNGKey(0),
     )
     np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_trunc), rtol=1e-4, atol=1e-5)
+
+
+def test_decode_greedy_tokens_matches_stacked(rng):
+    """Tokens-only greedy scan == argmax over the stacked [L,B,V] decode,
+    bitwise (same per-step math; only the stacking is elided)."""
+    params, feats, _ = _setup(rng, B=3, T=5, L=8)
+    mask = np.ones((3, 5), dtype=bool)
+    mask[1, 3:] = False
+    for m in (None, jnp.asarray(mask)):
+        outputs, _ = dec.decode(
+            params, CFG, jnp.asarray(feats), captions=None,
+            max_caption_len=8, feat_mask=m,
+        )
+        ref = np.asarray(dec.greedy_tokens(outputs))
+        got = np.asarray(dec.decode_greedy_tokens(
+            params, CFG, jnp.asarray(feats), max_caption_len=8, feat_mask=m,
+        ))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_dual_greedy_tokens_fused_matches_stacked(rng):
+    """Dual tokens-only scan == greedy_tokens(a_outputs + v_outputs) over
+    the stacked fused decode (reference dual direct semantics)."""
+    from mvc_tpu.models.captioning import dual_decode_fused, dual_greedy_tokens_fused
+
+    a_cfg = CFG.replace(in_feature_size=12)
+    v_params = dec.init_decoder(jax.random.PRNGKey(11), CFG)
+    a_params = dec.init_decoder(jax.random.PRNGKey(12), a_cfg)
+    visual = jnp.asarray(rng.normal(size=(3, 5, CFG.in_feature_size)).astype(np.float32))
+    audio = jnp.asarray(rng.normal(size=(3, 5, 12)).astype(np.float32))
+
+    v_out, _, a_out, _ = dual_decode_fused(
+        v_params, a_params, CFG, a_cfg, visual, audio, captions=None,
+        teacher_forcing_ratio=0.0, rng=None, feat_mask=None, max_caption_len=8,
+    )
+    ref = np.asarray(dec.greedy_tokens(a_out + v_out))
+    got = np.asarray(dual_greedy_tokens_fused(
+        v_params, a_params, CFG, a_cfg, visual, audio, max_caption_len=8,
+        feat_mask=None,
+    ))
+    np.testing.assert_array_equal(got, ref)
