@@ -158,6 +158,8 @@ def dual_greedy_tokens_fused(
     Returns [B, L] int32 tokens (position 0 = 0, the stacked contract)."""
     B = visual.shape[0]
     L = int(max_caption_len)
+    v_params = dec.cast_params_for_decode(v_params, dtype)
+    a_params = dec.cast_params_for_decode(a_params, dtype)
     v_feats = visual.astype(dtype)
     a_feats = audio.astype(dtype)
     v_keys = attn.precompute_keys(v_params["attention"], v_feats)
@@ -329,12 +331,13 @@ class AVCaptioning:
         )
         if tokens is not None:
             return tokens
+        dec_params = dec.cast_params_for_decode(params["decoder"], self.dtype)
         feats = features.astype(self.dtype)
-        keys = attn.precompute_keys(params["decoder"]["attention"], feats)
+        keys = attn.precompute_keys(dec_params["attention"], feats)
 
         def step_fn(prev, state):
             return dec.decoder_beam_step(
-                params["decoder"], cfg, prev, state, feats, keys, feat_mask, self.dtype
+                dec_params, cfg, prev, state, feats, keys, feat_mask, self.dtype
             )
 
         init_state = _beam_init_state(cfg.rnn_type, B, beam_width, cfg.rnn_hidden_size, self.dtype)
@@ -517,18 +520,20 @@ class AVCaptioningDual:
             if tokens is not None:
                 return tokens
         B = visual.shape[0]
+        v_params = dec.cast_params_for_decode(params["v_decoder"], self.dtype)
+        a_params = dec.cast_params_for_decode(params["a_decoder"], self.dtype)
         v_feats = visual.astype(self.dtype)
         a_feats = audio.astype(self.dtype)
-        v_keys = attn.precompute_keys(params["v_decoder"]["attention"], v_feats)
-        a_keys = attn.precompute_keys(params["a_decoder"]["attention"], a_feats)
+        v_keys = attn.precompute_keys(v_params["attention"], v_feats)
+        a_keys = attn.precompute_keys(a_params["attention"], a_feats)
 
         def step_fn(prev, state):
             v_state, a_state = state
             v_logp, v_new = dec.decoder_beam_step(
-                params["v_decoder"], self.v_config, prev, v_state, v_feats, v_keys, feat_mask, self.dtype
+                v_params, self.v_config, prev, v_state, v_feats, v_keys, feat_mask, self.dtype
             )
             a_logp, a_new = dec.decoder_beam_step(
-                params["a_decoder"], self.a_config, prev, a_state, a_feats, a_keys, feat_mask, self.dtype
+                a_params, self.a_config, prev, a_state, a_feats, a_keys, feat_mask, self.dtype
             )
             return v_logp + a_logp, (v_new, a_new)
 

@@ -30,6 +30,26 @@ from mvc_tpu.models.initializers import embedding_params, linear_params
 from mvc_tpu.ops import quant
 
 
+def cast_params_for_decode(params, dtype):
+    """Pre-cast a decoder tree to the compute dtype ONCE, before the scan.
+
+    XLA does not hoist per-use ``astype`` casts out of scan bodies, so a
+    bf16 decode over f32 master params would re-stream f32 weights AND cast
+    them every step (the trainer learned this on the train step — BENCH_NOTES
+    round 3 mixed-precision section); after this cast the in-scan casts are
+    no-ops.  Identity for f32.  int8-quantized leaves (ops/quant.py) keep
+    their storage dtype and f32 scales."""
+    if dtype == jnp.float32 or jnp.dtype(dtype) == jnp.float32:
+        return params
+
+    def cast(x):
+        if quant.is_quantized(x):
+            return x
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    return jax.tree.map(cast, params, is_leaf=quant.is_quantized)
+
+
 def init_decoder(key, cfg: DecoderConfig, dtype=jnp.float32):
     k_emb, k_att, k_rnn, k_out = jax.random.split(key, 4)
     return {
@@ -152,6 +172,7 @@ def decode_greedy_tokens(
     Returns [B, L] int32 (same contract as ``greedy_tokens``)."""
     B = feats.shape[0]
     L = int(max_caption_len)
+    params = cast_params_for_decode(params, dtype)
     feats = feats.astype(dtype)
     keys = attn.precompute_keys(params["attention"], feats)
     init_state = rnn.init_state(cfg.rnn_type, B, cfg.rnn_hidden_size, dtype)
