@@ -66,6 +66,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _use_factored(BT: int, F: int, H4: int) -> bool:
+    """Factored context-gates: the context vector only ever enters the cell
+    through ``context @ wi_ctx``, and context is linear in the features —
+    so ``P = feats @ wi_ctx`` ([B*T, H4]) can be precomputed ONCE per call
+    and the per-step contribution becomes the same block-masked
+    attention-weighted sum already used to build context, just over P
+    instead of feats.  Per step that trades ``2*BW*(BT*F + F*H4)`` FLOPs
+    (context build + its gate matmul) for ``2*BW*BT*H4`` and removes the
+    ``[F, H4]`` slab from the streamed gate tiles (−8.4 MB/step of HBM at
+    the headline visual shape).  Worth it exactly when the traded FLOPs
+    shrink — true for wide features (visual F=2048), false for narrow ones
+    (audio F=128, where streaming wi_ctx is cheaper than a [BT, H4] sum)."""
+    return BT * H4 < BT * F + F * H4
+
+
 def fits_vmem(
     decoder_params, feats_list, beam_width: int = 1,
     weight_dtype: str = "bfloat16", vmem_limit_mb: int = 64,
@@ -74,11 +89,12 @@ def fits_vmem(
 ) -> bool:
     """Host-side pre-flight: do the kernel's VMEM-RESIDENT operands plausibly
     fit the budget?  Accounts for the beam kernel's layout (the heaviest of
-    the three fused kernels): the concatenated embedding tables, per-clip
-    features + attention keys, the block-diagonal energy matrix ``wblk``, a
-    GRU's VMEM-resident recurrent weights ``wh``, the double-buffered
-    streaming tiles, the one-hot embedding intermediate, and the dominant
-    live f32 activations — each cell type using its actual gate count.
+    the three fused kernels): the concatenated embedding tables, the
+    per-clip slab (features, or P = feats @ wi_ctx when factored) plus
+    attention keys, a GRU's VMEM-resident recurrent weights ``wh``, the
+    double-buffered streaming tiles, the one-hot embedding intermediate, and
+    the dominant live f32 activations — each cell type using its actual
+    gate count.
 
     ``batch_div`` divides the batch for the per-shard check under the
     shard_map composition (ops/sharded.py).  The 25% margin absorbs Mosaic
@@ -106,23 +122,34 @@ def fits_vmem(
         H4 = p["rnn"]["wi"].shape[1]
         H = H4 // (4 if cell == "LSTM" else 3)
         TG = tile_g if (tile_g <= H and H % tile_g == 0) else H
-        Kp = (_round_up(F + E + H, 256) if cell == "LSTM"
-              else _round_up(F + E, 256))
-        total += B * Tf * (F + A) * wd            # feats + keys (stored per clip)
-        total += Tf * A * Tf * wd                 # block-diagonal energy matrix
+        factored = _use_factored(B * Tf, F, H4)
+        if factored:
+            Kp = (_round_up(E + H, 256) if cell == "LSTM"
+                  else _round_up(E, 256))
+            # P = feats @ wi_ctx replaces feats as the resident per-clip slab
+            total += B * Tf * (H4 + A) * wd       # P + keys (stored per clip)
+            total += 4 * BW * H4                  # live f32 ctx-gate activations
+        else:
+            Kp = (_round_up(F + E + H, 256) if cell == "LSTM"
+                  else _round_up(F + E, 256))
+            total += B * Tf * (F + A) * wd        # feats + keys (stored per clip)
         if cell == "GRU":
             total += H * H4 * wd                  # resident recurrent weights
         total += 2 * (Kp * TG + H * TVr) * wd     # double-buffered w tiles
         total += 4 * BW * (Kp + H4 + TVr + H)     # live f32 activations
+        total += 4 * BW * Tf * A                  # f32 energies view [BW, T, A]
+        CRc = max(1, min(B, 2048 // max(Tf, 1))) * Tf
+        total += 12 * BW * CRc                    # wrep/blk/wbd f32 context rows
     return total <= int(vmem_limit_mb * 0.75) << 20
 
 
 def _beam_kernel(
     *refs,
-    dims,            # per-decoder (F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v, cell)
+    dims,            # per-decoder (F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v, cell,
+                     #              factored)
     B, T, W, V, L,
     alpha,
-    Tc, CR,
+    CR,
     sos_id, eos_id,
 ):
     n_dec = len(dims)
@@ -167,7 +194,6 @@ def _beam_kernel(
         for k in range(W)
     ]
 
-    n_fc = T // Tc
     n_cc = (B * T) // CR
     kk = CR // T
 
@@ -189,27 +215,27 @@ def _beam_kernel(
         onehot = (iot == prev).astype(wdtype)
         acc = jnp.dot(onehot, emb_ref[:], preferred_element_type=f32)
 
-        # ---- 2. per-decoder attention + step input x ----
+        # ---- 2. per-decoder attention + step input x.  A factored decoder's
+        # feats_ref slot holds P = feats @ wi_ctx ([B*T, H4]): the same
+        # block-masked weighted sum that built context now yields the context
+        # rows' gate PREACTIVATION directly (ctxg), and context drops out of
+        # the streamed x entirely.
         xs = []
+        ctxgs = []
         for d in range(n_dec):
-            F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v, cell = dims[d]
-            feats_ref, keys_ref, wblk_ref, attn_w_ref, attn_b_ref = dec_refs[d][:5]
+            F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v, cell, factored = dims[d]
+            feats_ref, keys_ref, wrow_ref, attn_w_ref, attn_b_ref = dec_refs[d][:5]
             h = hs[d]
 
             q = jnp.dot(h.astype(wdtype), attn_w_ref[:],
                         preferred_element_type=f32) + attn_b_ref[:]      # [BW, A]
-            e_chunks = []
-            for c in range(n_fc):
-                krows = jnp.dot(
-                    prep_w, keys_ref[:, c * Tc * A:(c + 1) * Tc * A],
-                    preferred_element_type=f32,
-                )                                                        # [BW, Tc*A]
-                qrep = jnp.concatenate([q] * Tc, axis=1)
-                e_all = jnp.tanh(qrep + krows)
-                wblk_c = wblk_ref[c * Tc * A:(c + 1) * Tc * A, c * Tc:(c + 1) * Tc]
-                e_chunks.append(jnp.dot(e_all.astype(wdtype), wblk_c,
-                                        preferred_element_type=f32))
-            energies = jnp.concatenate(e_chunks, axis=1)                 # [BW, T]
+            # All T frames at once: broadcast the clip keys to beam rows with
+            # one matmul, tanh on the [BW, T, A] view, contract the energy
+            # vector w as a lane reduction (an [*, A] x [A, 1] matmul is the
+            # worst possible MXU shape — N=1).
+            krows = jnp.dot(prep_w, keys_ref[:], preferred_element_type=f32)
+            e_all = jnp.tanh(krows.reshape(BW, T, A) + q[:, None, :])
+            energies = jnp.sum(e_all * wrow_ref[:].reshape(1, 1, A), axis=2)
 
             neg = jnp.float32(-1e30)
             energies = jnp.where(mask_rows > 0, energies, neg)
@@ -220,21 +246,32 @@ def _beam_kernel(
             weights = unnorm / denom                                     # [BW, T] f32
 
             wrep = jnp.concatenate([weights] * kk, axis=1)               # [BW, CR]
-            context = jnp.zeros((BW, F), f32)
+            ncol = feats_ref.shape[1]            # F (direct) or H4 (factored)
+            wsum = jnp.zeros((BW, ncol), f32)
             for c in range(n_cc):
                 blk = (featcol_clip_ref[:, c * CR:(c + 1) * CR] == row_clip).astype(f32)
                 wbd = (wrep * blk).astype(wdtype)                        # [BW, CR]
-                context = context + jnp.dot(
+                wsum = wsum + jnp.dot(
                     wbd, feats_ref[c * CR:(c + 1) * CR, :], preferred_element_type=f32
                 )
 
             embedded = acc[:, Eoff:Eoff + E]
-            parts = [context.astype(wdtype), embedded.astype(wdtype)]
-            if cell == "LSTM":
-                parts.append(h.astype(wdtype))   # fused [wi; wh] rows
-                pad = Kp - (F + E + H)
+            if factored:
+                ctxgs.append(wsum)               # [BW, H4] context gate preact
+                parts = [embedded.astype(wdtype)]
+                if cell == "LSTM":
+                    parts.append(h.astype(wdtype))
+                    pad = Kp - (E + H)
+                else:
+                    pad = Kp - E
             else:
-                pad = Kp - (F + E)               # GRU: wh stays VMEM-resident
+                ctxgs.append(None)
+                parts = [wsum.astype(wdtype), embedded.astype(wdtype)]
+                if cell == "LSTM":
+                    parts.append(h.astype(wdtype))   # fused [wi; wh] rows
+                    pad = Kp - (F + E + H)
+                else:
+                    pad = Kp - (F + E)           # GRU: wh stays VMEM-resident
             if pad:
                 parts.append(jnp.zeros((BW, pad), wdtype))
             xs.append(jnp.concatenate(parts, axis=1))                    # [BW, Kp]
@@ -243,7 +280,7 @@ def _beam_kernel(
         # torch order i,f,g,o; GRU: wi-only tiles r,z,n with wh VMEM-resident
         # and the recurrent n-bias kept inside the reset product) ----
         for d in range(n_dec):
-            F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v, cell = dims[d]
+            F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v, cell, factored = dims[d]
             b_gates_ref, wh_ref, b_h_ref = (
                 dec_refs[d][5], dec_refs[d][7], dec_refs[d][8])
             x, c_state = xs[d], cs[d]
@@ -266,6 +303,8 @@ def _beam_kernel(
                 # GRU streams wi only with wh VMEM-resident.
                 gv = (jnp.dot(x, wih_buf[d][slot], preferred_element_type=f32)
                       + b_gates_ref[:, col:col + TG])
+                if factored:
+                    gv = gv + ctxgs[d][:, col:col + TG]
                 gh = None
                 if cell == "GRU":
                     gh = (jnp.dot(h_prev, wh_ref[:, col:col + TG],
@@ -469,10 +508,7 @@ def beam_decode_pallas(
 
     # --- chunk factors (attention energies / context) ---
     A0 = decoder_params[0]["attention"]["W"].shape[1]
-    Tc = max(1, min(T, 1024 // max(A0, 1)))
-    while T % Tc:
-        Tc -= 1
-    kk = max(1, min(B, 256 // max(T, 1)))
+    kk = max(1, min(B, 2048 // max(T, 1)))
     while B % kk:
         kk -= 1
     CR = kk * T
@@ -501,28 +537,34 @@ def beam_decode_pallas(
         if H % TG or TG > H:
             TG = H
         n_g = H4 // TG
-        Kp = _round_up(F + E + H, 256) if cell == "LSTM" else _round_up(F + E, 256)
+        factored = _use_factored(B * T, F, H4)
+        if factored:
+            Kp = _round_up(E + H, 256) if cell == "LSTM" else _round_up(E, 256)
+        else:
+            Kp = _round_up(F + E + H, 256) if cell == "LSTM" else _round_up(F + E, 256)
 
         feats_h = feats.astype(wd)
         keys = (feats_h @ ap["U"].astype(wd)).reshape(B, T * A).astype(wd)
-        w_vec = ap["w"].astype(wd)
-        wblk = jnp.zeros((T * A, T), wd)
-        for tt in range(T):
-            wblk = wblk.at[tt * A:(tt + 1) * A, tt].set(w_vec)
+        w_row = ap["w"].astype(f32).reshape(1, A)
 
         # x layout [context | embedded (| h)]; decoder x = [embedded, context].
         # LSTM streams fused [wi; wh]; GRU streams wi only (its n-gate keeps
         # the recurrent bias inside the reset product, so wh stays VMEM-
         # resident and h-side gates are computed against it in-kernel).
+        # A FACTORED decoder drops the context rows from the stream — their
+        # contribution arrives via P = feats @ wi_ctx (in-kernel ctxg).
+        wi_ctx = wi[E:]                                  # [F, H4] context rows
         if cell == "LSTM":
-            wih = jnp.concatenate([wi[E:], wi[:E], wh], axis=0).astype(wd)
-            wih_p = jnp.zeros((Kp, H4), wd).at[: F + E + H].set(wih)
+            rows = ([wi[:E], wh] if factored else [wi_ctx, wi[:E], wh])
+            wih = jnp.concatenate(rows, axis=0).astype(wd)
+            wih_p = jnp.zeros((Kp, H4), wd).at[: wih.shape[0]].set(wih)
             wh_vm = jnp.zeros((8, 128), wd)              # unused placeholder
             b_gates = (params["rnn"]["bi"] + params["rnn"]["bh"]).astype(f32).reshape(1, H4)
             b_h = jnp.zeros((1, H4), f32)
         else:
-            wih = jnp.concatenate([wi[E:], wi[:E]], axis=0).astype(wd)
-            wih_p = jnp.zeros((Kp, H4), wd).at[: F + E].set(wih)
+            rows = ([wi[:E]] if factored else [wi_ctx, wi[:E]])
+            wih = jnp.concatenate(rows, axis=0).astype(wd)
+            wih_p = jnp.zeros((Kp, H4), wd).at[: wih.shape[0]].set(wih)
             wh_vm = wh.astype(wd)                        # [H, 3H] resident
             b_gates = params["rnn"]["bi"].astype(f32).reshape(1, H4)
             b_h = params["rnn"]["bh"].astype(f32).reshape(1, H4)
@@ -534,10 +576,16 @@ def beam_decode_pallas(
         b_out = jnp.full((1, Vp), -1e30, f32).at[0, :V].set(
             params["out"]["b"].astype(f32)
         )
+        if factored:
+            # bf16 dots accumulate in f32 on the MXU; P is stored back in wd.
+            slab = jnp.dot(feats_h.reshape(B * T, F), wi_ctx.astype(wd),
+                           preferred_element_type=f32).astype(wd)  # [B*T, H4]
+        else:
+            slab = feats_h.reshape(B * T, F)
         vmem_ins += [
-            feats_h.reshape(B * T, F),
+            slab,
             keys,
-            wblk,
+            w_row,
             ap["W"].astype(wd),
             ap["b"].astype(f32).reshape(1, A),
             b_gates,
@@ -553,7 +601,7 @@ def beam_decode_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ]
         emb_blocks.append((emb, E))
-        dims.append((F, H, A, E, eoff, Kp, TG, n_g, TV, n_v, cell))
+        dims.append((F, H, A, E, eoff, Kp, TG, n_g, TV, n_v, cell, factored))
         eoff += E
 
     # --- concatenated embedding tables, VMEM-resident (Vp x Ecat_p is a
@@ -571,7 +619,7 @@ def beam_decode_pallas(
         _beam_kernel,
         dims=tuple(dims), B=B, T=T, W=W, V=V, L=L,
         alpha=float(beam_alpha),
-        Tc=Tc, CR=CR, sos_id=SOS_ID, eos_id=EOS_ID,
+        CR=CR, sos_id=SOS_ID, eos_id=EOS_ID,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec(memory_space=pl.ANY)
@@ -588,6 +636,7 @@ def beam_decode_pallas(
 
     flops_step = sum(
         2 * BW * (dd[5] * dd[6] * dd[7] + dd[1] * Vp) + 2 * BW * BW * dd[1]
+        + (2 * BW * B * T * dd[6] * dd[7] if dd[11] else 0)   # factored ctxg
         for dd in dims
     )
     hist = pl.pallas_call(

@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mvc_tpu.ops._gates import apply_gate_tile
+from mvc_tpu.ops.pallas_beam import _use_factored
 
 
 def _round_up(x: int, m: int) -> int:
@@ -48,9 +49,9 @@ def _round_up(x: int, m: int) -> int:
 def _decode_kernel(
     # VMEM-resident inputs (feats/keys time-major: per-frame reads index the
     # leading, untiled axis)
-    feats_ref,      # [T, B, F]
+    feats_ref,      # [T, B, F] — or [T, B, G*H] (P = feats @ wi_ctx) factored
     keys2_ref,      # [B, T*A]    (precomputed U @ feats, frame-blocks on lanes)
-    wblk_ref,       # [T*A, T]    (energy vector w on the block diagonal)
+    wrow_ref,       # [1, A]      f32 energy vector w
     mask_ref,       # [B, T]      f32 (1.0 attendable / 0.0 masked)
     emb_ref,        # [Vp, E]     (padded vocab rows are zeros)
     attn_w_ref,     # [H, A]      (query projection W)
@@ -75,6 +76,8 @@ def _decode_kernel(
     L: int,
     sos_id: int,
     cell: str,      # "LSTM" | "GRU"
+    factored: bool,
+    A: int,
 ):
     T, B, F = feats_ref.shape
     H = wh_ref.shape[0]
@@ -84,7 +87,7 @@ def _decode_kernel(
     n_g, _, TG = wi_hbm.shape
     n_v, _, TV = wout_hbm.shape
     wdtype = wi_buf.dtype
-    pad = Kp - (F + E)
+    pad = Kp - E if factored else Kp - (F + E)
 
     def wi_dma(slot, j):
         return pltpu.make_async_copy(wi_hbm.at[j], wi_buf.at[slot], wi_sem.at[slot])
@@ -110,10 +113,12 @@ def _decode_kernel(
         q = jnp.dot(h.astype(wdtype), attn_w_ref[:],
                     preferred_element_type=jnp.float32)        # [B, A]
         q_b = q + attn_b_ref[:]
-        qrep = jnp.concatenate([q_b] * T, axis=1)              # [B, T*A]
-        e_all = jnp.tanh(qrep + keys2_ref[:].astype(jnp.float32))
-        energies = jnp.dot(e_all.astype(wdtype), wblk_ref[:],
-                           preferred_element_type=jnp.float32)  # [B, T]
+        # All T frames at once: tanh on the [B, T, A] view, then contract the
+        # energy vector w as a lane reduction (an [*, A] x [A, 1] matmul is
+        # the worst possible MXU shape — N=1).
+        e_all = jnp.tanh(keys2_ref[:].astype(jnp.float32).reshape(B, T, A)
+                         + q_b[:, None, :])
+        energies = jnp.sum(e_all * wrow_ref[:].reshape(1, 1, A), axis=2)
         mask = mask_ref[:]
         neg = jnp.float32(-1e30)
         energies = jnp.where(mask > 0, energies, neg)
@@ -123,12 +128,16 @@ def _decode_kernel(
         denom = jnp.maximum(jnp.sum(unnorm, axis=1, keepdims=True), 1e-30)
         weights = unnorm / denom                               # [B, T] f32
 
-        context = jnp.zeros((B, F), jnp.float32)
+        # Weighted sum over the per-clip slab: the context vector (direct)
+        # or the context rows' gate preactivation (factored, slab = P).
+        wsum = jnp.zeros((B, F), jnp.float32)
         for tt in range(T):
-            context = context + weights[:, tt:tt + 1] * feats_ref[tt].astype(jnp.float32)
+            wsum = wsum + weights[:, tt:tt + 1] * feats_ref[tt].astype(jnp.float32)
 
-        # ---- 3. step input x = [context | embedded | 0-pad]
-        parts = [context.astype(wdtype), embedded.astype(wdtype)]
+        # ---- 3. step input x = [context | embedded | 0-pad] (direct) or
+        # [embedded | 0-pad] (factored: context reaches the gates via ctxg)
+        ctxg = wsum if factored else None
+        parts = ([] if factored else [wsum.astype(wdtype)]) + [embedded.astype(wdtype)]
         if pad:
             parts.append(jnp.zeros((B, pad), wdtype))
         x = jnp.concatenate(parts, axis=1)                     # [B, Kp]
@@ -156,6 +165,8 @@ def _decode_kernel(
                   + (b_h_ref[:, col:col + TG] if cell == "GRU" else 0.0))
             gv = (jnp.dot(x, wi_buf[slot], preferred_element_type=jnp.float32)
                   + b_gates_ref[:, col:col + TG])
+            if factored:
+                gv = gv + ctxg[:, col:col + TG]
             if cell == "LSTM":
                 gv = gv + gh                                   # fused preact
             apply_gate_tile(cell, gate_id, k, gv, gh, i_parts, g_parts,
@@ -244,16 +255,23 @@ def greedy_decode_pallas(
         tile_g = H
     tile_v = min(tile_v, _round_up(V, 128))
     Vp = _round_up(V, tile_v)
-    Kp = _round_up(K1, 256)
+    factored = _use_factored(B * T, F, H4)
+    Kp = _round_up(E, 256) if factored else _round_up(K1, 256)
 
     feats_h = feats.astype(wdtype)
     keys = (feats_h @ ap["U"].astype(wdtype)).astype(wdtype)
-    feats_tm = feats_h.transpose(1, 0, 2)      # [T, B, F] time-major
+    if factored:
+        # Context rows' gate preactivation is linear in feats: precompute
+        # P = feats @ wi_ctx once and drop wi's context rows from the stream.
+        slab_tm = (
+            jnp.dot(feats_h.reshape(B * T, F), wi[E:].astype(wdtype),
+                    preferred_element_type=jnp.float32)
+            .astype(wdtype).reshape(B, T, H4).transpose(1, 0, 2)
+        )                                       # [T, B, H4] time-major
+    else:
+        slab_tm = feats_h.transpose(1, 0, 2)    # [T, B, F] time-major
     keys2 = keys.reshape(B, T * A)             # [B, T*A] frame-major lane blocks
-    w_vec = ap["w"].astype(wdtype)
-    wblk = jnp.zeros((T * A, T), wdtype)
-    for tt_ in range(T):
-        wblk = wblk.at[tt_ * A:(tt_ + 1) * A, tt_].set(w_vec)
+    w_row = ap["w"].astype(jnp.float32).reshape(1, A)
     mask = (
         feat_mask.astype(jnp.float32)
         if feat_mask is not None else jnp.ones((B, T), jnp.float32)
@@ -262,9 +280,11 @@ def greedy_decode_pallas(
     emb_p = jnp.zeros((Vp, E), wdtype).at[:V].set(emb.astype(wdtype))
 
     # x layout is [context(F) | embedded(E) | 0-pad]; reorder wi rows to match
-    # (decoder x = concat([embedded, context]) -> rows [E:], then rows [:E])
-    wi_x = jnp.concatenate([wi[E:], wi[:E]], axis=0).astype(wdtype)
-    wi_p = jnp.zeros((Kp, H4), wdtype).at[:K1].set(wi_x)
+    # (decoder x = concat([embedded, context]) -> rows [E:], then rows [:E]).
+    # Factored: only the embedded rows stream; context rows live in P.
+    wi_x = (wi[:E] if factored
+            else jnp.concatenate([wi[E:], wi[:E]], axis=0)).astype(wdtype)
+    wi_p = jnp.zeros((Kp, H4), wdtype).at[:wi_x.shape[0]].set(wi_x)
     n_g = H4 // tile_g
     wi_tiles = wi_p.reshape(Kp, n_g, tile_g).transpose(1, 0, 2)  # [n_g, Kp, TG]
 
@@ -280,7 +300,8 @@ def greedy_decode_pallas(
         b_gates = params["rnn"]["bi"].astype(jnp.float32).reshape(1, H4)
         b_h = params["rnn"]["bh"].astype(jnp.float32).reshape(1, H4)
 
-    kernel = functools.partial(_decode_kernel, L=L, sos_id=sos_id, cell=rnn_type)
+    kernel = functools.partial(_decode_kernel, L=L, sos_id=sos_id,
+                               cell=rnn_type, factored=factored, A=A)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec(memory_space=pl.ANY)
 
@@ -316,7 +337,7 @@ def greedy_decode_pallas(
             transcendentals=L * B * (4 * H + T * A),
         ),
     )(
-        feats_tm, keys2, wblk, mask, emb_p,
+        slab_tm, keys2, w_row, mask, emb_p,
         ap["W"].astype(wdtype),
         ap["b"].astype(jnp.float32).reshape(1, A),
         wh.astype(wdtype), b_gates, b_h, b_out_p,

@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mvc_tpu.ops._gates import apply_gate_tile
+from mvc_tpu.ops.pallas_beam import _use_factored
 
 
 def _round_up(x: int, m: int) -> int:
@@ -41,7 +42,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
-    """dims: per-decoder (F, H, A, E, Kp, TG, n_g, cell)."""
+    """dims: per-decoder (F, H, A, E, Kp, TG, n_g, cell, factored).
+
+    A factored decoder's feats slot holds P = feats @ wi_ctx time-major
+    ([T, B, G*H]): the attention-weighted slab sum yields the context rows'
+    gate preactivation directly and context drops out of the wi stream
+    (see pallas_beam._use_factored)."""
     n_dec = len(dims)
     f32 = jnp.float32
 
@@ -75,9 +81,10 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
 
     for t in range(L):
         xs = []
+        ctxgs = []
         for d in range(n_dec):
-            F, H, A, E, Kp, TG, n_g, cell = dims[d]
-            (feats_ref, keys2_ref, wblk_ref, emb_ref, attn_w_ref,
+            F, H, A, E, Kp, TG, n_g, cell, factored = dims[d]
+            (feats_ref, keys2_ref, wrow_ref, emb_ref, attn_w_ref,
              attn_b_ref, _, b_gates_ref, _, b_out_ref) = dec_refs[d]
             Vp = emb_ref.shape[0]
 
@@ -89,10 +96,9 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
             # ---- 2. additive attention (same scheme as ops/pallas_decode.py)
             q = jnp.dot(hs[d].astype(wdtype), attn_w_ref[:],
                         preferred_element_type=f32) + attn_b_ref[:]
-            qrep = jnp.concatenate([q] * T, axis=1)
-            e_all = jnp.tanh(qrep + keys2_ref[:].astype(f32))
-            energies = jnp.dot(e_all.astype(wdtype), wblk_ref[:],
-                               preferred_element_type=f32)       # [B, T]
+            e_all = jnp.tanh(keys2_ref[:].astype(f32).reshape(B, T, A)
+                             + q[:, None, :])
+            energies = jnp.sum(e_all * wrow_ref[:].reshape(1, 1, A), axis=2)
             neg = jnp.float32(-1e30)
             energies = jnp.where(mask > 0, energies, neg)
             m = jnp.max(energies, axis=1, keepdims=True)
@@ -101,12 +107,19 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
             denom = jnp.maximum(jnp.sum(unnorm, axis=1, keepdims=True), 1e-30)
             weights = unnorm / denom
 
-            context = jnp.zeros((B, F), f32)
+            ncol = feats_ref.shape[2]          # F (direct) or G*H (factored)
+            wsum = jnp.zeros((B, ncol), f32)
             for tt in range(T):
-                context = context + weights[:, tt:tt + 1] * feats_ref[tt].astype(f32)
+                wsum = wsum + weights[:, tt:tt + 1] * feats_ref[tt].astype(f32)
 
-            parts = [context.astype(wdtype), embedded.astype(wdtype)]
-            pad = Kp - (F + E)
+            if factored:
+                ctxgs.append(wsum)
+                parts = [embedded.astype(wdtype)]
+                pad = Kp - E
+            else:
+                ctxgs.append(None)
+                parts = [wsum.astype(wdtype), embedded.astype(wdtype)]
+                pad = Kp - (F + E)
             if pad:
                 parts.append(jnp.zeros((B, pad), wdtype))
             xs.append(jnp.concatenate(parts, axis=1))            # [B, Kp]
@@ -115,7 +128,7 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
         # (torch gate order: LSTM i,f,g,o; GRU r,z,n with the recurrent
         # n-bias kept inside the reset product)
         for d in range(n_dec):
-            F, H, A, E, Kp, TG, n_g, cell = dims[d]
+            F, H, A, E, Kp, TG, n_g, cell, factored = dims[d]
             wh_ref, b_gates_ref, b_h_ref = (
                 dec_refs[d][6], dec_refs[d][7], dec_refs[d][8])
             x, h_prev = xs[d], hs[d].astype(wdtype)
@@ -138,6 +151,8 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
                       + (b_h_ref[:, col:col + TG] if cell == "GRU" else 0.0))
                 gv = (jnp.dot(x, wi_buf[d][slot], preferred_element_type=f32)
                       + b_gates_ref[:, col:col + TG])
+                if factored:
+                    gv = gv + ctxgs[d][:, col:col + TG]
                 if cell == "LSTM":
                     gv = gv + gh                                 # fused preact
                 apply_gate_tile(cell, gate_id, k, gv, gh, i_parts, g_parts,
@@ -254,18 +269,25 @@ def dual_greedy_decode_pallas(
         if H % TG or TG > H:
             TG = H
         n_g = H4 // TG
-        Kp = _round_up(K1, 256)
+        factored = _use_factored(B * T, F, H4)
+        Kp = _round_up(E, 256) if factored else _round_up(K1, 256)
 
         feats_h = feats.astype(wd)
         keys2 = (feats_h @ ap["U"].astype(wd)).reshape(B, T * A).astype(wd)
-        w_vec = ap["w"].astype(wd)
-        wblk = jnp.zeros((T * A, T), wd)
-        for tt in range(T):
-            wblk = wblk.at[tt * A:(tt + 1) * A, tt].set(w_vec)
+        w_row = ap["w"].astype(f32).reshape(1, A)
+        if factored:
+            slab_tm = (
+                jnp.dot(feats_h.reshape(B * T, F), wi[E:].astype(wd),
+                        preferred_element_type=f32)
+                .astype(wd).reshape(B, T, H4).transpose(1, 0, 2)
+            )                                    # [T, B, H4] time-major
+        else:
+            slab_tm = feats_h.transpose(1, 0, 2)
 
         emb_p = jnp.zeros((Vp, E), wd).at[:V].set(emb.astype(wd))
-        wi_x = jnp.concatenate([wi[E:], wi[:E]], axis=0).astype(wd)
-        wi_p = jnp.zeros((Kp, H4), wd).at[:K1].set(wi_x)
+        wi_x = (wi[:E] if factored
+                else jnp.concatenate([wi[E:], wi[:E]], axis=0)).astype(wd)
+        wi_p = jnp.zeros((Kp, H4), wd).at[:wi_x.shape[0]].set(wi_x)
         wi_tiles = wi_p.reshape(Kp, n_g, TG).transpose(1, 0, 2)
         wout_p = jnp.zeros((H, Vp), wd).at[:, :V].set(params["out"]["w"].astype(wd))
         wout_tiles = wout_p.reshape(H, n_v, TV).transpose(1, 0, 2)
@@ -280,9 +302,9 @@ def dual_greedy_decode_pallas(
             b_h = params["rnn"]["bh"].astype(f32).reshape(1, H4)
 
         vmem_ins += [
-            feats_h.transpose(1, 0, 2),          # [T, B, F] time-major
+            slab_tm,                             # [T, B, F|G*H] time-major
             keys2,
-            wblk,
+            w_row,
             emb_p,
             ap["W"].astype(wd),
             ap["b"].astype(f32).reshape(1, A),
@@ -298,7 +320,7 @@ def dual_greedy_decode_pallas(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-        dims.append((F, H, A, E, Kp, TG, n_g, cell))
+        dims.append((F, H, A, E, Kp, TG, n_g, cell, factored))
 
     kernel = functools.partial(
         _dual_kernel, dims=tuple(dims), B=B, T=T, L=L,
@@ -327,10 +349,11 @@ def dual_greedy_decode_pallas(
         cost_estimate=pl.CostEstimate(
             flops=2 * L * B * sum(
                 Kp * 4 * H + H * 4 * H + H * Vp + Vp * E + T * A
-                for (F, H, A, E, Kp, TG, n_g, cell) in dims
+                for (F, H, A, E, Kp, TG, n_g, cell, _fac) in dims
             ),
             bytes_accessed=L * sum(
-                (Kp * TG * n_g + H * Vp) for (F, H, A, E, Kp, TG, n_g, cell) in dims
+                (Kp * TG * n_g + H * Vp)
+                for (F, H, A, E, Kp, TG, n_g, cell, _fac) in dims
             ) * wd.itemsize,
             transcendentals=L * B * sum(4 * dd[1] + T * dd[2] for dd in dims),
         ),
