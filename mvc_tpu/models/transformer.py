@@ -283,6 +283,13 @@ class TransformerCaptioning:
 
     def predict_tokens(self, params, audio, visual, max_caption_len=30,
                        mode="direct", beam_alpha=0.0, beam_width=5, feat_mask=None):
+        # Pre-cast f32 master params to the compute dtype ONCE: the layers use
+        # params raw, so a bf16 model fed f32 params would otherwise promote
+        # every matmul to f32 and re-stream f32 weights per decode step (the
+        # same trap decoder.cast_params_for_decode fixes for the RNN paths).
+        from mvc_tpu.models.decoder import cast_params_for_decode
+
+        params = cast_params_for_decode(params, self.dtype)
         a_mem, v_mem, cross_mask = self._encode(params, audio, visual, feat_mask)
         B = visual.shape[0]
         L = int(max_caption_len)
