@@ -38,6 +38,7 @@ from mvc_tpu.models import decoder as dec
 from mvc_tpu.models import reconstructor as rec
 from mvc_tpu.models import attention as attn
 from mvc_tpu.models import rnn
+from mvc_tpu.ops import quant
 
 
 def _beam_init_state(rnn_type: str, B: int, W: int, H: int, dtype):
@@ -81,6 +82,78 @@ def _pallas_dispatch(params_list, feats_list, feat_mask, rnn_types,
     return kernel(params_list, feats_list, feat_mask)
 
 
+def _dual_tf_hoisted(
+    v_params, a_params, v_cfg, a_cfg,
+    v_feats, a_feats, captions, feat_mask, dtype, v_keys, a_keys,
+):
+    """Fused dual decode under full teacher forcing with hoisted GEMMs —
+    the dual-scan counterpart of ``decoder._decode_tf_hoisted`` (embedded
+    input GEMMs and vocab projections leave the scan; wide-feature context
+    rows ride P = feats @ wi_ctx).  Each scan step streams only the two
+    recurrent ``wh`` matrices."""
+    from mvc_tpu.ops.pallas_beam import _use_factored
+
+    L, B = captions.shape
+
+    def prep(params, cfg, feats):
+        E = cfg.embedding_size
+        F = feats.shape[2]
+        wi = params["rnn"]["wi"]
+        emb_all = params["embedding"]["table"][captions[:-1]].astype(dtype)
+        gi = (jnp.einsum("lbe,eh->lbh", emb_all, wi[:E].astype(dtype))
+              + params["rnn"]["bi"].astype(dtype))
+        factored = _use_factored(B * feats.shape[1], F, wi.shape[1])
+        P = (feats @ wi[E:].astype(dtype)) if factored else None
+        return gi, P, factored, wi, E
+
+    v_gi, v_P, v_fac, v_wi, v_E = prep(v_params, v_cfg, v_feats)
+    a_gi, a_P, a_fac, a_wi, a_E = prep(a_params, a_cfg, a_feats)
+
+    def substep(params, cfg, feats, keys, P, fac, wi, E, state, gi_t):
+        h = rnn.state_hidden(cfg.rnn_type, state)
+        _, weights = attn.attend(
+            params["attention"], h, feats, keys=keys, mask=feat_mask)
+        if fac:
+            gi = gi_t + jnp.einsum("bt,bth->bh", weights, P)
+        else:
+            context = jnp.einsum("bt,btf->bf", weights, feats)
+            gi = gi_t + context.astype(dtype) @ wi[E:].astype(dtype)
+        _, new_state = rnn.rnn_step_pre(params["rnn"], cfg.rnn_type, gi, state)
+        return new_state
+
+    init = (
+        rnn.init_state(v_cfg.rnn_type, B, v_cfg.rnn_hidden_size, dtype),
+        rnn.init_state(a_cfg.rnn_type, B, a_cfg.rnn_hidden_size, dtype),
+    )
+
+    def step(carry, xs):
+        v_state, a_state = carry
+        v_gt, a_gt = xs
+        v_new = substep(v_params, v_cfg, v_feats, v_keys, v_P, v_fac, v_wi, v_E, v_state, v_gt)
+        a_new = substep(a_params, a_cfg, a_feats, a_keys, a_P, a_fac, a_wi, a_E, a_state, a_gt)
+        return (v_new, a_new), (
+            rnn.state_hidden(v_cfg.rnn_type, v_new).astype(jnp.float32),
+            rnn.state_hidden(a_cfg.rnn_type, a_new).astype(jnp.float32),
+        )
+
+    _, (v_hids, a_hids) = jax.lax.scan(step, init, (v_gi, a_gi))
+
+    def outs(params, hids):
+        logits = (hids.astype(dtype) @ quant.wmat(params["out"]["w"], dtype)
+                  + params["out"]["b"].astype(dtype)).astype(jnp.float32)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    def pad0(x, width):
+        return jnp.concatenate([jnp.zeros((1, B, width), jnp.float32), x], axis=0)
+
+    return (
+        pad0(outs(v_params, v_hids), v_cfg.output_size),
+        pad0(v_hids, v_cfg.rnn_hidden_size),
+        pad0(outs(a_params, a_hids), a_cfg.output_size),
+        pad0(a_hids, a_cfg.rnn_hidden_size),
+    )
+
+
 def dual_decode_fused(
     v_params, a_params, v_cfg, a_cfg,
     visual, audio, captions,
@@ -102,6 +175,14 @@ def dual_decode_fused(
     a_feats = audio.astype(dtype)
     v_keys = attn.precompute_keys(v_params["attention"], v_feats)
     a_keys = attn.precompute_keys(a_params["attention"], a_feats)
+
+    if (captions is not None and teacher_forcing_ratio >= 1.0 and L > 1
+            and not quant.is_quantized(v_params["rnn"]["wi"])
+            and not quant.is_quantized(a_params["rnn"]["wi"])):
+        return _dual_tf_hoisted(
+            v_params, a_params, v_cfg, a_cfg,
+            v_feats, a_feats, captions, feat_mask, dtype, v_keys, a_keys,
+        )
 
     if captions is not None and teacher_forcing_ratio > 0:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -164,6 +245,8 @@ def dual_greedy_tokens_fused(
     a_feats = audio.astype(dtype)
     v_keys = attn.precompute_keys(v_params["attention"], v_feats)
     a_keys = attn.precompute_keys(a_params["attention"], a_feats)
+    v_P = dec.factored_P(v_params, v_feats, dtype)
+    a_P = dec.factored_P(a_params, a_feats, dtype)
     init = (
         jnp.full((B,), 1, dtype=jnp.int32),   # SOS
         rnn.init_state(v_cfg.rnn_type, B, v_cfg.rnn_hidden_size, dtype),
@@ -174,9 +257,9 @@ def dual_greedy_tokens_fused(
     def step(carry, _):
         v_prev, v_state, a_prev, a_state = carry
         v_logp, v_new, _ = dec.decoder_step(
-            v_params, v_cfg, v_prev, v_state, v_feats, v_keys, feat_mask, dtype)
+            v_params, v_cfg, v_prev, v_state, v_feats, v_keys, feat_mask, dtype, P=v_P)
         a_logp, a_new, _ = dec.decoder_step(
-            a_params, a_cfg, a_prev, a_state, a_feats, a_keys, feat_mask, dtype)
+            a_params, a_cfg, a_prev, a_state, a_feats, a_keys, feat_mask, dtype, P=a_P)
         v_next = jnp.argmax(v_logp, -1).astype(jnp.int32)
         a_next = jnp.argmax(a_logp, -1).astype(jnp.int32)
         fused = jnp.argmax(v_logp + a_logp, -1).astype(jnp.int32)
@@ -334,10 +417,11 @@ class AVCaptioning:
         dec_params = dec.cast_params_for_decode(params["decoder"], self.dtype)
         feats = features.astype(self.dtype)
         keys = attn.precompute_keys(dec_params["attention"], feats)
+        P = dec.factored_P(dec_params, feats, self.dtype)
 
         def step_fn(prev, state):
             return dec.decoder_beam_step(
-                dec_params, cfg, prev, state, feats, keys, feat_mask, self.dtype
+                dec_params, cfg, prev, state, feats, keys, feat_mask, self.dtype, P=P
             )
 
         init_state = _beam_init_state(cfg.rnn_type, B, beam_width, cfg.rnn_hidden_size, self.dtype)
@@ -526,14 +610,18 @@ class AVCaptioningDual:
         a_feats = audio.astype(self.dtype)
         v_keys = attn.precompute_keys(v_params["attention"], v_feats)
         a_keys = attn.precompute_keys(a_params["attention"], a_feats)
+        v_P = dec.factored_P(v_params, v_feats, self.dtype)
+        a_P = dec.factored_P(a_params, a_feats, self.dtype)
 
         def step_fn(prev, state):
             v_state, a_state = state
             v_logp, v_new = dec.decoder_beam_step(
-                v_params, self.v_config, prev, v_state, v_feats, v_keys, feat_mask, self.dtype
+                v_params, self.v_config, prev, v_state, v_feats, v_keys,
+                feat_mask, self.dtype, P=v_P,
             )
             a_logp, a_new = dec.decoder_beam_step(
-                a_params, self.a_config, prev, a_state, a_feats, a_keys, feat_mask, self.dtype
+                a_params, self.a_config, prev, a_state, a_feats, a_keys,
+                feat_mask, self.dtype, P=a_P,
             )
             return v_logp + a_logp, (v_new, a_new)
 

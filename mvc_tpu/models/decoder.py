@@ -64,6 +64,22 @@ def init_decoder(key, cfg: DecoderConfig, dtype=jnp.float32):
     }
 
 
+def factored_P(params, feats, dtype):
+    """P = feats @ wi_ctx for the factored-context decode scans, or None when
+    the direct path is cheaper (``ops.pallas_beam._use_factored`` rule) or
+    the weights are int8-quantized (quant targets the direct matmuls)."""
+    from mvc_tpu.ops.pallas_beam import _use_factored
+
+    wi = params["rnn"]["wi"]
+    if quant.is_quantized(wi):
+        return None
+    E = params["embedding"]["table"].shape[1]
+    B, T, F = feats.shape
+    if not _use_factored(B * T, F, wi.shape[1]):
+        return None
+    return feats.astype(dtype) @ wi[E:].astype(dtype)          # [B, T, G*H]
+
+
 def decoder_step(
     params,
     cfg: DecoderConfig,
@@ -73,6 +89,7 @@ def decoder_step(
     keys: jnp.ndarray,               # [B, T, A] precomputed attention keys
     feat_mask: Optional[jnp.ndarray],  # [B, T] bool or None
     dtype=jnp.float32,
+    P: Optional[jnp.ndarray] = None,  # [B, T, G*H] factored_P (or None)
 ) -> Tuple[jnp.ndarray, object, jnp.ndarray]:
     """One word step (reference forward_word, src/models/features_captioning.py:77-89).
     Returns (log_probs [B, V] float32, new_state, attn_weights [B, T]).
@@ -81,17 +98,88 @@ def decoder_step(
     and per-step Pallas cells measured SLOWER than XLA at this granularity
     (BENCH_NOTES.md round 1; the kernels were removed in round 2).
     MVC_PALLAS routes the inference-only whole-decode kernels in
-    models/captioning.py instead."""
+    models/captioning.py instead.
+
+    With ``P`` (factored context-gates, see ``factored_P``) the context rows
+    of ``wi`` never stream through the scan: the attention-weighted sum runs
+    over P and the cell steps from the input preactivation."""
     embedded = params["embedding"]["table"][prev_tokens].astype(dtype)
     h = rnn.state_hidden(cfg.rnn_type, state)
     context, weights = attn.attend(params["attention"], h, feats, keys=keys, mask=feat_mask)
-    x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
-    _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
+    if P is not None:
+        E = embedded.shape[-1]
+        wi = params["rnn"]["wi"]
+        gi = (embedded @ wi[:E].astype(dtype) + params["rnn"]["bi"].astype(dtype)
+              + jnp.einsum("bt,bth->bh", weights, P))
+        _, new_state = rnn.rnn_step_pre(params["rnn"], cfg.rnn_type, gi, state)
+    else:
+        x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
+        _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
     h_new = rnn.state_hidden(cfg.rnn_type, new_state)
     logits = (h_new @ quant.wmat(params["out"]["w"], dtype)
               + params["out"]["b"].astype(dtype)).astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     return log_probs, new_state, weights
+
+
+def _decode_tf_hoisted(
+    params, cfg: DecoderConfig, feats, captions, feat_mask, dtype, keys,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced (ratio >= 1) decode with every hoistable GEMM hoisted.
+
+    Under full teacher forcing the fed tokens are the gold captions and the
+    in-scan argmax is dead code, so three of the four weight streams leave
+    the scan (same observable contract as the generic path):
+
+    - the embedded-side input GEMM runs once over all timesteps
+      (``rnn.rnn_input_preact``) instead of re-streaming ``wi`` per step
+    - the context rows of ``wi`` either ride the same hoisted GEMM through
+      P = feats @ wi_ctx (wide features, ``ops.pallas_beam._use_factored``
+      rule) or stay per-step for narrow features where P would inflate reads
+    - the vocab projection runs once over the stacked hiddens after the scan
+
+    The scan streams only ``wh`` per step.  Float summation order differs
+    from the generic path in the last ulps (preactivation adds reassociate);
+    tokens/losses agree to test tolerances (tests/test_decoder.py)."""
+    L, B = captions.shape
+    E = cfg.embedding_size
+    F = feats.shape[2]
+    wi = params["rnn"]["wi"]
+    H4 = wi.shape[1]
+
+    emb_all = params["embedding"]["table"][captions[:-1]].astype(dtype)  # [L-1, B, E]
+    gi_emb = (jnp.einsum("lbe,eh->lbh", emb_all, wi[:E].astype(dtype))
+              + params["rnn"]["bi"].astype(dtype))                       # [L-1, B, H4]
+    from mvc_tpu.ops.pallas_beam import _use_factored
+
+    factored = _use_factored(B * feats.shape[1], F, H4)
+    P = (feats @ wi[E:].astype(dtype)) if factored else None             # [B, T, H4]
+
+    init_state = rnn.init_state(cfg.rnn_type, B, cfg.rnn_hidden_size, dtype)
+
+    def step(state, gi_t):
+        h = rnn.state_hidden(cfg.rnn_type, state)
+        _, weights = attn.attend(
+            params["attention"], h, feats, keys=keys, mask=feat_mask
+        )  # the unused context einsum is dead-coded in the factored branch
+        if factored:
+            gi = gi_t + jnp.einsum("bt,bth->bh", weights, P)
+        else:
+            context = jnp.einsum("bt,btf->bf", weights, feats)
+            gi = gi_t + context.astype(dtype) @ wi[E:].astype(dtype)
+        _, new_state = rnn.rnn_step_pre(params["rnn"], cfg.rnn_type, gi, state)
+        return new_state, rnn.state_hidden(cfg.rnn_type, new_state).astype(jnp.float32)
+
+    _, hiddens = jax.lax.scan(step, init_state, gi_emb)                  # [L-1, B, H]
+
+    logits = (hiddens.astype(dtype) @ quant.wmat(params["out"]["w"], dtype)
+              + params["out"]["b"].astype(dtype)).astype(jnp.float32)
+    outs = jax.nn.log_softmax(logits, axis=-1)
+
+    zeros_out = jnp.zeros((1, B, cfg.output_size), jnp.float32)
+    zeros_h = jnp.zeros((1, B, cfg.rnn_hidden_size), jnp.float32)
+    return (jnp.concatenate([zeros_out, outs], axis=0),
+            jnp.concatenate([zeros_h, hiddens], axis=0))
 
 
 def decode(
@@ -113,6 +201,10 @@ def decode(
     L = int(captions.shape[0]) if captions is not None else int(max_caption_len)
     feats = feats.astype(dtype)
     keys = attn.precompute_keys(params["attention"], feats)
+
+    if (captions is not None and teacher_forcing_ratio >= 1.0 and L > 1
+            and not quant.is_quantized(params["rnn"]["wi"])):
+        return _decode_tf_hoisted(params, cfg, feats, captions, feat_mask, dtype, keys)
 
     # One teacher-forcing coin per timestep for the whole batch
     # (reference src/models/features_captioning.py:116).
@@ -175,13 +267,14 @@ def decode_greedy_tokens(
     params = cast_params_for_decode(params, dtype)
     feats = feats.astype(dtype)
     keys = attn.precompute_keys(params["attention"], feats)
+    P = factored_P(params, feats, dtype)
     init_state = rnn.init_state(cfg.rnn_type, B, cfg.rnn_hidden_size, dtype)
     init_prev = jnp.full((B,), SOS_ID, dtype=jnp.int32)
 
     def step(carry, _):
         prev, state = carry
         log_probs, new_state, _ = decoder_step(
-            params, cfg, prev, state, feats, keys, feat_mask, dtype
+            params, cfg, prev, state, feats, keys, feat_mask, dtype, P=P
         )
         top1 = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
         return (top1, new_state), top1
@@ -200,6 +293,7 @@ def decoder_beam_step(
     keys: jnp.ndarray,               # [B, T, A]
     feat_mask: Optional[jnp.ndarray],  # [B, T] or None
     dtype=jnp.float32,
+    P: Optional[jnp.ndarray] = None,  # [B, T, G*H] factored_P (or None)
 ):
     """Beam-batched word step.  The attention keys are broadcast over the
     beam axis (no [B*W, T, F] feature copies in HBM); the RNN cell operates
@@ -215,9 +309,16 @@ def decoder_beam_step(
     ) @ ap["w"].astype(dtype)                                            # [B, W, T]
     mask = feat_mask[:, None, :] if feat_mask is not None else None
     weights = attn.masked_softmax(energies, mask, axis=-1)
-    context = jnp.einsum("bwt,btf->bwf", weights, feats)                 # [B, W, F]
-    x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
-    _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
+    if P is not None:
+        E = embedded.shape[-1]
+        wi = params["rnn"]["wi"]
+        gi = (embedded @ wi[:E].astype(dtype) + params["rnn"]["bi"].astype(dtype)
+              + jnp.einsum("bwt,bth->bwh", weights, P))
+        _, new_state = rnn.rnn_step_pre(params["rnn"], cfg.rnn_type, gi, state)
+    else:
+        context = jnp.einsum("bwt,btf->bwf", weights, feats)             # [B, W, F]
+        x = jnp.concatenate([embedded, context.astype(dtype)], axis=-1)
+        _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
     h_new = rnn.state_hidden(cfg.rnn_type, new_state)
     logits = (h_new @ quant.wmat(params["out"]["w"], dtype)
               + params["out"]["b"].astype(dtype)).astype(jnp.float32)

@@ -82,14 +82,22 @@ def global_reconstruct(
 
     init_state = rnn.init_state(cfg.rnn_type, B, cfg.hidden_size, dtype)
 
-    def step(state, h_t):
-        x = jnp.concatenate([h_t, pooled], axis=-1)
-        _, new_state = rnn.rnn_step(params["rnn"], cfg.rnn_type, x, state)
+    # The whole input sequence [h_t ; pooled] is known before the scan, so
+    # the input-side GEMM runs ONCE over all timesteps; the scan streams only
+    # the recurrent ``wh`` per step (rnn.rnn_input_preact).  At the reference
+    # dual+global config this removes the [2H, 4H'] wi re-read every step —
+    # the single largest weight stream in the train step (BENCH_NOTES).
+    x_all = jnp.concatenate(
+        [hiddens[1:], jnp.broadcast_to(pooled[None], (L - 1, B, H))], axis=-1)
+    gi_all = rnn.rnn_input_preact(params["rnn"], cfg.rnn_type, x_all)
+
+    def step(state, gi_t):
+        _, new_state = rnn.rnn_step_pre(params["rnn"], cfg.rnn_type, gi_t, state)
         return new_state, rnn.state_hidden(cfg.rnn_type, new_state).astype(jnp.float32)
 
     # The reference loops t = 1..L-1, leaving recons[0] = 0
     # (src/models/reconstructor.py:178-183).
-    _, recons = jax.lax.scan(step, init_state, hiddens[1:])
+    _, recons = jax.lax.scan(step, init_state, gi_all)
     recons = jnp.concatenate([jnp.zeros((1, B, cfg.hidden_size), jnp.float32), recons], axis=0)
     return recons.transpose(1, 0, 2)                               # [B, L, F]
 

@@ -64,6 +64,50 @@ def gru_step(params, x: jnp.ndarray, state: jnp.ndarray):
     return h_new, h_new
 
 
+def rnn_input_preact(params, rnn_type: str, x: jnp.ndarray) -> jnp.ndarray:
+    """Input-side gate preactivation ``x @ wi + bi`` ([..., G*H]).
+
+    It is linear in x, so when the whole input sequence is known before the
+    scan (teacher forcing, reconstructor inputs) it can be computed for ALL
+    timesteps in one batched GEMM — the scan then streams only the recurrent
+    ``wh`` per step instead of re-reading ``wi`` every iteration (the
+    cuDNN-style RNN input batching; BENCH_NOTES round 3)."""
+    del rnn_type  # same input-side form for LSTM and GRU
+    d = x.dtype
+    return x @ wmat(params["wi"], d) + params["bi"].astype(d)
+
+
+def lstm_step_pre(params, gi: jnp.ndarray, state):
+    """LSTM step from a precomputed input preactivation gi = x @ wi + bi."""
+    h, c = state
+    d = gi.dtype
+    gates = gi + h @ wmat(params["wh"], d) + params["bh"].astype(d)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, (h_new, c_new)
+
+
+def gru_step_pre(params, gi: jnp.ndarray, state):
+    """GRU step from a precomputed input preactivation gi = x @ wi + bi."""
+    h = state
+    d = gi.dtype
+    gh = h @ wmat(params["wh"], d) + params["bh"].astype(d)
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    h_new = (1.0 - z) * n + z * h
+    return h_new, h_new
+
+
+def rnn_step_pre(params, rnn_type: str, gi, state):
+    if rnn_type == "LSTM":
+        return lstm_step_pre(params, gi, state)
+    return gru_step_pre(params, gi, state)
+
+
 def init_rnn(key, rnn_type: str, in_size: int, hidden_size: int, dtype=jnp.float32):
     if rnn_type == "LSTM":
         return init_lstm(key, in_size, hidden_size, dtype)
