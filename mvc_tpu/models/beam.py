@@ -95,10 +95,30 @@ def beam_search(
 
         return (token, new_state, new_cum, new_hist, new_finished, new_eos_len), None
 
-    carry = (prev, init_state, cum, hist, finished, eos_len)
-    (prev, state, cum, hist, finished, eos_len), _ = jax.lax.scan(
-        step, carry, jnp.arange(Lh)
-    )
+    # lax.while_loop with an all-finished EARLY EXIT instead of a static-L
+    # scan (same property the fused Pallas kernel exploits, ops/pallas_beam):
+    # a step that BEGINS with every beam finished scores every candidate of
+    # beam w at cum_w, so top-k only re-sorts beams by normalized score and
+    # writes token 0 (hist's fill value) — every later step is an identity
+    # re-sort writing more zeros.  Stopping after that one sorting step is
+    # output-identical to running all Lh steps (asserted against the scan
+    # formulation in tests/test_beam.py), and 2-3x faster on real data where
+    # captions EOS well before max length.
+    def cond(c):
+        t, began_allfin = c[0], c[1]
+        return jnp.logical_and(t < Lh, jnp.logical_not(began_allfin))
+
+    def body(c):
+        t = c[0]
+        carry = c[2:]
+        began_allfin = jnp.all(carry[4])               # finished at step START
+        carry, _ = step(carry, t)
+        return (t + 1, began_allfin) + carry
+
+    state0 = (jnp.asarray(0, jnp.int32), jnp.asarray(False)) + (
+        prev, init_state, cum, hist, finished, eos_len)
+    out = jax.lax.while_loop(cond, body, state0)
+    hist = out[5]
 
     best = hist[:, 0, :]                                               # [B, Lh]
     sos = jnp.full((B, 1), SOS_ID, dtype=jnp.int32)

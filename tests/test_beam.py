@@ -102,6 +102,22 @@ def test_beam_matches_oracle(rng):
         np.testing.assert_array_equal(ours, expected)
 
 
+def test_beam_early_exit_matches_full_oracle(rng):
+    """The while_loop's all-finished early exit (models/beam.py) must be
+    output-identical to the full-length algorithm: with EOS-biased weights
+    every beam finishes within a few steps, the loop stops after the final
+    sorting step, and the remaining positions hold hist's fill value 0 —
+    exactly what the oracle's full run produces."""
+    params = dec.init_decoder(jax.random.PRNGKey(21), CFG)
+    # Strong EOS bias: all beams finish by ~step 2 of 9.
+    params["out"]["b"] = params["out"]["b"].at[EOS_ID].add(25.0)
+    feats = rng.normal(size=(3, 4, CFG.in_feature_size)).astype(np.float32)
+    for alpha in (0.0, 0.9):
+        ours = _run_ours(params, feats, max_len=8, alpha=alpha, width=3)
+        expected = oracle_beam(params, feats, max_len=8, alpha=alpha, width=3)
+        np.testing.assert_array_equal(ours, expected)
+
+
 def test_beam_width1_equals_greedy_prefix(rng):
     params = dec.init_decoder(jax.random.PRNGKey(12), CFG)
     feats = rng.normal(size=(2, 3, CFG.in_feature_size)).astype(np.float32)
