@@ -105,3 +105,27 @@ def test_precomputed_keys_equivalent(rng):
     c2, w2 = attn.attend(params, hidden, feats, keys=keys)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-6)
+
+
+def test_rnn_step_pre_matches_rnn_step(rng):
+    """rnn_step_pre(rnn_input_preact(x)) must equal rnn_step(x) for both
+    cells — the hoisted-scan formulations (decoder._decode_tf_hoisted,
+    reconstructor.global_reconstruct) rely on this split."""
+    from mvc_tpu.models import rnn
+
+    B, IN, H = 3, 10, 8
+    x = jnp.asarray(rng.normal(size=(B, IN)).astype(np.float32))
+    for rnn_type in ("LSTM", "GRU"):
+        params = rnn.init_rnn(jax.random.PRNGKey(7), rnn_type, IN, H)
+        state = rnn.init_state(rnn_type, B, H)
+        if rnn_type == "LSTM":
+            state = (jnp.asarray(rng.normal(size=(B, H)).astype(np.float32)),
+                     jnp.asarray(rng.normal(size=(B, H)).astype(np.float32)))
+        else:
+            state = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+        h1, s1 = rnn.rnn_step(params, rnn_type, x, state)
+        gi = rnn.rnn_input_preact(params, rnn_type, x)
+        h2, s2 = rnn.rnn_step_pre(params, rnn_type, gi, state)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
