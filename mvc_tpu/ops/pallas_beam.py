@@ -188,11 +188,13 @@ def _beam_kernel(
     prep_w = prep_f.astype(wdtype)
     mask_rows = jnp.dot(prep_f, mask_ref[:], preferred_element_type=f32)  # [BW, T]
 
-    iota_bw = jax.lax.broadcasted_iota(jnp.int32, (B, BW), 0).astype(f32)
-    pick = [  # pick[k][b, r] selects row (b, k): candidate gather to clip-space
-        ((col_clip == iota_bw) * (col_beam == float(k))).astype(f32)
-        for k in range(W)
-    ]
+    # pick_all[k*B + b, r] selects row (b, k): ONE [W*B, BW] matmul gathers
+    # all beams' candidates to clip-space (was W separate [B, BW] matmuls)
+    iota_kb_clip = jax.lax.broadcasted_iota(jnp.int32, (BW, BW), 0).astype(f32) % float(B)
+    iota_kb_beam = jnp.floor(
+        jax.lax.broadcasted_iota(jnp.int32, (BW, BW), 0).astype(f32) / float(B))
+    pick_all = ((col_clip == iota_kb_clip)
+                * (col_beam == iota_kb_beam)).astype(f32)        # [W*B, BW]
 
     n_cc = (B * T) // CR
     kk = CR // T
@@ -378,7 +380,8 @@ def _beam_kernel(
         gidx5 = row_beam * float(V) + tok5                               # flat w*V+tok
 
         gmat = jnp.concatenate([cand5n, cand5, tok5, gidx5], axis=1)     # [BW, 4W]
-        parts = [jnp.dot(pick[k], gmat, preferred_element_type=f32) for k in range(W)]
+        pall = jnp.dot(pick_all, gmat, preferred_element_type=f32)       # [W*B, 4W]
+        parts = [pall[k * B:(k + 1) * B] for k in range(W)]
         vals25 = jnp.concatenate([p[:, 0 * W:1 * W] for p in parts], axis=1)  # [B, W*W]
         cand25 = jnp.concatenate([p[:, 1 * W:2 * W] for p in parts], axis=1)
         tok25 = jnp.concatenate([p[:, 2 * W:3 * W] for p in parts], axis=1)
@@ -399,10 +402,12 @@ def _beam_kernel(
             sel_rows.append(jnp.concatenate([tk, wf, uc], axis=1))
             vals25 = jnp.where(match, BOTTOM, vals25)
 
+        sel_cat = jnp.concatenate(sel_rows, axis=1)                      # [B, 3W]
+        scat_all = jnp.dot(prep_f, sel_cat, preferred_element_type=f32)  # [BW, 3W]
         scat = jnp.zeros((BW, 3), f32)
         for k in range(W):
-            e = jnp.dot(prep_f, sel_rows[k], preferred_element_type=f32)  # [BW, 3]
-            scat = scat + e * (row_beam == float(k)).astype(f32)
+            scat = scat + (scat_all[:, 3 * k:3 * (k + 1)]
+                           * (row_beam == float(k)).astype(f32))
         newtok = scat[:, 0:1]
         wsel = scat[:, 1:2]
         newcum = scat[:, 2:3]
