@@ -234,6 +234,7 @@ def dual_greedy_tokens_fused(
     visual, audio,
     max_caption_len: int,
     feat_mask, dtype=jnp.float32,
+    stop_at_all_eos: bool = False,
 ) -> jnp.ndarray:
     """Tokens-only dual direct decode (one scan, both decoders): each decoder
     free-runs on its own argmax while the output stream argmaxes the fused
@@ -260,7 +261,7 @@ def dual_greedy_tokens_fused(
         rnn.init_state(a_cfg.rnn_type, B, a_cfg.rnn_hidden_size, dtype),
     )
 
-    def step(carry, _):
+    def one_step(carry):
         v_prev, v_state, a_prev, a_state = carry
         v_logp, v_new, _ = dec.decoder_step(
             v_params, v_cfg, v_prev, v_state, v_feats, v_keys, feat_mask, dtype, P=v_P)
@@ -271,7 +272,31 @@ def dual_greedy_tokens_fused(
         fused = jnp.argmax(v_logp + a_logp, -1).astype(jnp.int32)
         return (v_next, v_new, a_next, a_new), fused
 
-    _, toks = jax.lax.scan(step, init, None, length=L - 1)
+    if stop_at_all_eos:
+        # Stop once every row's FUSED stream has emitted EOS: later output
+        # positions hold 0, which decode_indexes never reads (text-identical;
+        # the decoders' own feeds are irrelevant past that point).
+        from mvc_tpu.config import EOS_ID
+
+        def cond(c):
+            t, seen = c[0], c[1]
+            return jnp.logical_and(t < L - 1, jnp.logical_not(jnp.all(seen)))
+
+        def body(c):
+            t, seen, carry, toks = c
+            carry, fused = one_step(carry)
+            toks = jax.lax.dynamic_update_index_in_dim(toks, fused, t, axis=0)
+            return (t + 1, seen | (fused == EOS_ID), carry, toks)
+
+        out = jax.lax.while_loop(cond, body, (
+            jnp.asarray(0, jnp.int32), jnp.zeros((B,), bool), init,
+            jnp.zeros((L - 1, B), jnp.int32)))
+        toks = out[3]
+    else:
+        def step(carry, _):
+            return one_step(carry)
+
+        _, toks = jax.lax.scan(step, init, None, length=L - 1)
     zeros = jnp.zeros((1, B), jnp.int32)
     return jnp.concatenate([zeros, toks], axis=0).T
 
@@ -363,9 +388,15 @@ class AVCaptioning:
         beam_alpha: float = 0.0,
         beam_width: int = 5,
         feat_mask: Optional[jnp.ndarray] = None,
+        stop_at_all_eos: bool = False,
     ) -> jnp.ndarray:
         """Jittable prediction -> token ids [B, L]
-        (reference src/models/captioning.py:131-144)."""
+        (reference src/models/captioning.py:131-144).
+
+        ``stop_at_all_eos`` (direct mode, XLA path): stop the decode loop
+        once every row has emitted EOS — caption text identical, post-EOS
+        token positions hold 0 (PARITY.md); ignored by the fused kernels
+        (fixed schedule) and by beam mode (which has its own early exit)."""
         features = jnp.concatenate([audio, visual], axis=-1)
         if mode == "direct":
             def make_kernel():
@@ -394,6 +425,7 @@ class AVCaptioning:
                 params["decoder"], self.decoder_config, features,
                 max_caption_len=max_caption_len,
                 feat_mask=feat_mask, dtype=self.dtype,
+                stop_at_all_eos=stop_at_all_eos,
             )
         if mode != "beam":
             raise ValueError(f"mode must be 'direct' or 'beam', got {mode}")
@@ -553,6 +585,7 @@ class AVCaptioningDual:
         beam_alpha: float = 0.0,
         beam_width: int = 5,
         feat_mask: Optional[jnp.ndarray] = None,
+        stop_at_all_eos: bool = False,
     ) -> jnp.ndarray:
         if mode == "direct":
             # Each decoder free-runs on its own argmax, then the fused
@@ -581,6 +614,7 @@ class AVCaptioningDual:
                 params["v_decoder"], params["a_decoder"], self.v_config,
                 self.a_config, visual, audio, max_caption_len=max_caption_len,
                 feat_mask=feat_mask, dtype=self.dtype,
+                stop_at_all_eos=stop_at_all_eos,
             )
         if mode != "beam":
             raise ValueError(f"mode must be 'direct' or 'beam', got {mode}")

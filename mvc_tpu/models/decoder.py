@@ -253,6 +253,7 @@ def decode_greedy_tokens(
     max_caption_len: int = 30,
     feat_mask: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
+    stop_at_all_eos: bool = False,
 ) -> jnp.ndarray:
     """Tokens-only greedy decode: the same per-step math as
     ``greedy_tokens(decode(captions=None)[0])`` but the argmax runs inside
@@ -260,6 +261,12 @@ def decode_greedy_tokens(
     log-prob stack (30 x 1024 x 4000 f32 = 492 MB per decoder at the bulk
     offline-scoring shape) is never materialized.  Bitwise-identical tokens:
     position 0 is the stacked contract's argmax-of-zeros = 0.
+
+    ``stop_at_all_eos``: stop decoding once every row has emitted EOS;
+    later positions hold 0 instead of the reference's free-running
+    continuation.  Caption TEXT is identical (``decode_indexes`` stops at
+    the first EOS), so this is a pure wall-clock win for real-data eval —
+    but token arrays differ post-EOS, hence opt-in (PARITY.md).
 
     Returns [B, L] int32 (same contract as ``greedy_tokens``)."""
     B = feats.shape[0]
@@ -271,15 +278,37 @@ def decode_greedy_tokens(
     init_state = rnn.init_state(cfg.rnn_type, B, cfg.rnn_hidden_size, dtype)
     init_prev = jnp.full((B,), SOS_ID, dtype=jnp.int32)
 
-    def step(carry, _):
-        prev, state = carry
+    def one_step(prev, state):
         log_probs, new_state, _ = decoder_step(
             params, cfg, prev, state, feats, keys, feat_mask, dtype, P=P
         )
         top1 = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
-        return (top1, new_state), top1
+        return top1, new_state
 
-    _, toks = jax.lax.scan(step, (init_prev, init_state), None, length=L - 1)
+    if stop_at_all_eos:
+        from mvc_tpu.config import EOS_ID
+
+        def cond(c):
+            t, seen = c[0], c[1]
+            return jnp.logical_and(t < L - 1, jnp.logical_not(jnp.all(seen)))
+
+        def body(c):
+            t, seen, prev, state, toks = c
+            top1, new_state = one_step(prev, state)
+            toks = jax.lax.dynamic_update_index_in_dim(toks, top1, t, axis=0)
+            return (t + 1, seen | (top1 == EOS_ID), top1, new_state, toks)
+
+        out = jax.lax.while_loop(cond, body, (
+            jnp.asarray(0, jnp.int32), jnp.zeros((B,), bool),
+            init_prev, init_state, jnp.zeros((L - 1, B), jnp.int32)))
+        toks = out[4]
+    else:
+        def step(carry, _):
+            prev, state = carry
+            top1, new_state = one_step(prev, state)
+            return (top1, new_state), top1
+
+        _, toks = jax.lax.scan(step, (init_prev, init_state), None, length=L - 1)
     zeros = jnp.zeros((1, B), jnp.int32)
     return jnp.concatenate([zeros, toks], axis=0).T
 

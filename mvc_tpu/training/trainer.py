@@ -203,12 +203,22 @@ class Trainer:
             getattr(model, "fused_scan", None),
             jnp.dtype(model.dtype).name,
         )
-        key = (model_key, max_caption_len, mode, beam_width, beam_alpha)
+        # Direct-mode eval stops once every row has emitted EOS: caption
+        # TEXT (and therefore every metric) is identical — decode_indexes
+        # never reads past the first EOS — while real-data eval stops at
+        # the batch's longest caption instead of max_caption_len (PARITY.md;
+        # transformer predicts don't take the hint).
+        stop_eos = (mode == "direct"
+                    and "stop_at_all_eos" in
+                    model.predict_tokens.__func__.__code__.co_varnames)
+        key = (model_key, max_caption_len, mode, beam_width, beam_alpha, stop_eos)
         if key not in self._predict_cache:
+            kw = {"stop_at_all_eos": True} if stop_eos else {}
             self._predict_cache[key] = jax.jit(
                 lambda p, a, v, m: model.predict_tokens(
                     p, a, v, max_caption_len=max_caption_len, mode=mode,
                     beam_width=beam_width, beam_alpha=beam_alpha, feat_mask=m,
+                    **kw,
                 )
             )
         return self._predict_cache[key]

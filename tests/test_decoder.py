@@ -195,3 +195,45 @@ def test_dual_greedy_tokens_fused_matches_stacked(rng):
         feat_mask=None,
     ))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_greedy_stop_at_all_eos_text_identical(rng):
+    """stop_at_all_eos halts the decode loop once every row has emitted EOS;
+    tokens up to and including each row's first EOS must match the full
+    free-running decode exactly (later positions are 0 — never read by
+    decode_indexes, so caption text is identical; PARITY.md)."""
+    import jax.numpy as jnp
+
+    from mvc_tpu.config import EOS_ID, DecoderConfig
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.models.captioning import AVCaptioningDual, dual_greedy_tokens_fused
+
+    cfg = DecoderConfig(rnn_hidden_size=16, in_feature_size=12,
+                        embedding_size=8, attn_size=6, output_size=11)
+    params = dec.init_decoder(jax.random.PRNGKey(31), cfg)
+    params["out"]["b"] = params["out"]["b"].at[EOS_ID].add(8.0)  # EOS-y
+    feats = jnp.asarray(rng.normal(size=(3, 4, 12)).astype(np.float32))
+
+    full = np.asarray(dec.decode_greedy_tokens(params, cfg, feats, max_caption_len=9))
+    fast = np.asarray(dec.decode_greedy_tokens(params, cfg, feats, max_caption_len=9,
+                                               stop_at_all_eos=True))
+    for b in range(full.shape[0]):
+        eos_pos = np.where(full[b] == EOS_ID)[0]
+        upto = (eos_pos[0] + 1) if len(eos_pos) else full.shape[1]
+        np.testing.assert_array_equal(fast[b, :upto], full[b, :upto])
+        assert np.all(fast[b, upto:] == 0) or upto == full.shape[1]
+
+    # dual fused variant: same contract on the fused output stream
+    model = AVCaptioningDual(vocab_size=11, reconstructor_type="none")
+    p2 = model.init(jax.random.PRNGKey(5))
+    for d in ("v_decoder", "a_decoder"):
+        p2[d]["out"]["b"] = p2[d]["out"]["b"].at[EOS_ID].add(8.0)
+    audio = jnp.asarray(rng.normal(size=(2, 4, 128)).astype(np.float32))
+    visual = jnp.asarray(rng.normal(size=(2, 4, 2048)).astype(np.float32))
+    full = np.asarray(model.predict_tokens(p2, audio, visual, max_caption_len=9))
+    fast = np.asarray(model.predict_tokens(p2, audio, visual, max_caption_len=9,
+                                           stop_at_all_eos=True))
+    for b in range(full.shape[0]):
+        eos_pos = np.where(full[b] == EOS_ID)[0]
+        upto = (eos_pos[0] + 1) if len(eos_pos) else full.shape[1]
+        np.testing.assert_array_equal(fast[b, :upto], full[b, :upto])
