@@ -75,10 +75,15 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     ckpt_tag = os.path.splitext(os.path.basename(args.checkpoint))[0]
 
+    # Direct mode stops once every row has emitted EOS — caption text is
+    # identical (PARITY.md) and real-data batches finish at their longest
+    # caption instead of max_caption_len.
+    extra = {"stop_at_all_eos": True} if args.mode == "direct" else {}
     predict = jax.jit(
         lambda p, a, v, m: model.predict_tokens(
             p, a, v, max_caption_len=args.max_caption_len, mode=args.mode,
             beam_alpha=args.beam_alpha, beam_width=args.beam_width, feat_mask=m,
+            **extra,
         )
     )
 
