@@ -97,6 +97,7 @@ def _dual_tf_hoisted(
     input GEMMs and vocab projections leave the scan; wide-feature context
     rows ride P = feats @ wi_ctx).  Each scan step streams only the two
     recurrent ``wh`` matrices."""
+    from mvc_tpu.config import SOS_ID as SOS_ID_
     from mvc_tpu.ops.pallas_beam import _use_factored
 
     L, B = captions.shape
@@ -105,7 +106,9 @@ def _dual_tf_hoisted(
         E = cfg.embedding_size
         F = feats.shape[2]
         wi = params["rnn"]["wi"]
-        emb_all = params["embedding"]["table"][captions[:-1]].astype(dtype)
+        fed = jnp.concatenate(
+            [jnp.full((1, B), SOS_ID_, captions.dtype), captions[1:-1]], axis=0)
+        emb_all = params["embedding"]["table"][fed].astype(dtype)
         gi = (jnp.einsum("lbe,eh->lbh", emb_all, wi[:E].astype(dtype))
               + params["rnn"]["bi"].astype(dtype))
         factored = _use_factored(B * feats.shape[1], F, wi.shape[1])

@@ -147,7 +147,11 @@ def _decode_tf_hoisted(
     wi = params["rnn"]["wi"]
     H4 = wi.shape[1]
 
-    emb_all = params["embedding"]["table"][captions[:-1]].astype(dtype)  # [L-1, B, E]
+    # The generic path always feeds SOS at step 0 regardless of captions[0]
+    # (the data contract puts SOS there, but stay exactly faithful).
+    fed = jnp.concatenate(
+        [jnp.full((1, B), SOS_ID, captions.dtype), captions[1:-1]], axis=0)
+    emb_all = params["embedding"]["table"][fed].astype(dtype)             # [L-1, B, E]
     gi_emb = (jnp.einsum("lbe,eh->lbh", emb_all, wi[:E].astype(dtype))
               + params["rnn"]["bi"].astype(dtype))                       # [L-1, B, H4]
     from mvc_tpu.ops.pallas_beam import _use_factored
