@@ -25,7 +25,10 @@ pallas_call —
   and h/c/prev/gates are plain SSA values
 
 Per-step HBM traffic drops from ~32 MB (f32 wi+wh+wout, XLA) to ~14 MB of
-bf16 tiles; everything else is VMEM-resident.
+bf16 tiles; everything else is VMEM-resident.  With factored context-gates
+(pallas_beam._use_factored: P = feats @ wi_ctx replaces the context rows of
+the wi stream, wide features only) the streamed wi shrinks to the embedded
+rows — ~6 MB/step at the headline shape.
 """
 
 from __future__ import annotations
@@ -310,7 +313,7 @@ def greedy_decode_pallas(
         in_specs=[
             vspec,  # feats
             vspec,  # keys2
-            vspec,  # wblk
+            vspec,  # w_row
             vspec,  # mask
             vspec,  # emb
             vspec,  # attn W
