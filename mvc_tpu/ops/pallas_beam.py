@@ -157,10 +157,10 @@ def _beam_kernel(
     f32 = jnp.float32
 
     # ---- ref parsing (order fixed by the wrapper) ----
-    nin = 7 + 9 * n_dec
+    nin = 9 + 9 * n_dec
     (mask_ref, row_clip_ref, row_beam_ref, col_clip_ref, col_beam_ref,
-     featcol_clip_ref, emb_ref) = refs[:7]
-    dec_refs = [refs[7 + 9 * d: 7 + 9 * (d + 1)] for d in range(n_dec)]
+     stk_clip_ref, stk_beam_ref, featcol_clip_ref, emb_ref) = refs[:9]
+    dec_refs = [refs[9 + 9 * d: 9 + 9 * (d + 1)] for d in range(n_dec)]
     wih_hbm = [refs[nin + 2 * d] for d in range(n_dec)]
     wout_hbm = [refs[nin + 1 + 2 * d] for d in range(n_dec)]
     hist_ref = refs[nin + 2 * n_dec]
@@ -189,12 +189,10 @@ def _beam_kernel(
     mask_rows = jnp.dot(prep_f, mask_ref[:], preferred_element_type=f32)  # [BW, T]
 
     # pick_all[k*B + b, r] selects row (b, k): ONE [W*B, BW] matmul gathers
-    # all beams' candidates to clip-space (was W separate [B, BW] matmuls)
-    iota_kb_clip = jax.lax.broadcasted_iota(jnp.int32, (BW, BW), 0).astype(f32) % float(B)
-    iota_kb_beam = jnp.floor(
-        jax.lax.broadcasted_iota(jnp.int32, (BW, BW), 0).astype(f32) / float(B))
-    pick_all = ((col_clip == iota_kb_clip)
-                * (col_beam == iota_kb_beam)).astype(f32)        # [W*B, BW]
+    # all beams' candidates to clip-space (was W separate [B, BW] matmuls).
+    # stk_* are host-built index columns (no in-kernel int div/mod).
+    pick_all = ((col_clip == stk_clip_ref[:])
+                * (col_beam == stk_beam_ref[:])).astype(f32)     # [W*B, BW]
 
     n_cc = (B * T) // CR
     kk = CR // T
@@ -505,6 +503,8 @@ def beam_decode_pallas(
     row_beam = jnp.asarray((r % W).astype(np.float32)[:, None])
     col_clip = jnp.asarray((r // W).astype(np.float32)[None, :])
     col_beam = jnp.asarray((r % W).astype(np.float32)[None, :])
+    stk_clip = jnp.asarray((r % B).astype(np.float32)[:, None])   # row k*B+b -> b
+    stk_beam = jnp.asarray((r // B).astype(np.float32)[:, None])  # row k*B+b -> k
     featcol_clip = jnp.asarray((np.arange(B * T) // T).astype(np.float32)[None, :])
     mask = (
         feat_mask.astype(f32) if feat_mask is not None
@@ -520,7 +520,8 @@ def beam_decode_pallas(
 
     # --- per-decoder packed operands ---
     dims = []
-    vmem_ins = [mask, row_clip, row_beam, col_clip, col_beam, featcol_clip]
+    vmem_ins = [mask, row_clip, row_beam, col_clip, col_beam,
+                stk_clip, stk_beam, featcol_clip]
     hbm_ins = []
     scratch = []
     emb_blocks = []
@@ -618,7 +619,7 @@ def beam_decode_pallas(
     for emb, E in emb_blocks:
         emb_cat = emb_cat.at[:V, off:off + E].set(emb.astype(wd))
         off += E
-    vmem_ins = vmem_ins[:6] + [emb_cat] + vmem_ins[6:]
+    vmem_ins = vmem_ins[:8] + [emb_cat] + vmem_ins[8:]
 
     kernel = functools.partial(
         _beam_kernel,
