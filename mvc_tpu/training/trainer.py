@@ -208,9 +208,10 @@ class Trainer:
         # never reads past the first EOS — while real-data eval stops at
         # the batch's longest caption instead of max_caption_len (PARITY.md;
         # transformer predicts don't take the hint).
-        stop_eos = (mode == "direct"
-                    and "stop_at_all_eos" in
-                    model.predict_tokens.__func__.__code__.co_varnames)
+        import inspect
+
+        stop_eos = (mode == "direct" and "stop_at_all_eos" in
+                    inspect.signature(model.predict_tokens).parameters)
         key = (model_key, max_caption_len, mode, beam_width, beam_alpha, stop_eos)
         if key not in self._predict_cache:
             kw = {"stop_at_all_eos": True} if stop_eos else {}
