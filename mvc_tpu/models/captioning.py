@@ -111,7 +111,9 @@ def _dual_tf_hoisted(
         emb_all = params["embedding"]["table"][fed].astype(dtype)
         gi = (jnp.einsum("lbe,eh->lbh", emb_all, wi[:E].astype(dtype))
               + params["rnn"]["bi"].astype(dtype))
-        factored = _use_factored(B * feats.shape[1], F, wi.shape[1])
+        # Training amortization rule — see decoder._decode_tf_hoisted.
+        factored = (feats.shape[1] < L - 1
+                    and _use_factored(B * feats.shape[1], F, wi.shape[1]))
         P = (feats @ wi[E:].astype(dtype)) if factored else None
         return gi, P, factored, wi, E
 

@@ -156,7 +156,14 @@ def _decode_tf_hoisted(
               + params["rnn"]["bi"].astype(dtype))                       # [L-1, B, H4]
     from mvc_tpu.ops.pallas_beam import _use_factored
 
-    factored = _use_factored(B * feats.shape[1], F, H4)
+    # TRAINING amortization rule: P's build GEMM (2*BT*F*H4, plus ~2x more
+    # in its backward) must pay for itself over only L-1 scan steps of
+    # 2*B*F*H4 context-gate savings — unlike decode's L~30 forward-only
+    # steps.  Break-even is ~T < L-1, false at every reference config
+    # (T=28 frames vs L-1 = 7..29 caption steps), so the context rows stay
+    # in the scan stream here.
+    factored = (feats.shape[1] < L - 1
+                and _use_factored(B * feats.shape[1], F, H4))
     P = (feats @ wi[E:].astype(dtype)) if factored else None             # [B, T, H4]
 
     init_state = rnn.init_state(cfg.rnn_type, B, cfg.rnn_hidden_size, dtype)
