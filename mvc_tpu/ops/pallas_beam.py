@@ -83,7 +83,7 @@ def _use_factored(BT: int, F: int, H4: int) -> bool:
 
 def fits_vmem(
     decoder_params, feats_list, beam_width: int = 1,
-    weight_dtype: str = "bfloat16", vmem_limit_mb: int = 64,
+    weight_dtype: str = "bfloat16", vmem_limit_mb: int = 128,
     rnn_types: Optional[Sequence[str]] = None, batch_div: int = 1,
     tile_g: int = 256, tile_v: int = 1024,
 ) -> bool:
@@ -101,7 +101,16 @@ def fits_vmem(
     padding and scheduling slack, but a passing pre-flight cannot *guarantee*
     a Mosaic compile on exotic shapes — dispatchers treat ``False`` as "take
     the XLA scan", never as a hard error, and a compile failure remains
-    possible in principle (none observed at the reference configs)."""
+    possible in principle (none observed at the reference configs).
+
+    The default budget is the v5e VMEM capacity (~128 MiB/core).  A 64 MB
+    default shipped in round 3 gated the HEADLINE dual-beam shape (B=64,
+    W=5, V=4000: 52.5 MiB estimated residency) off the fused kernel — a
+    silent 1.57x regression (12.9k vs 20.2k captions/s measured on one
+    v5e); the kernel demonstrably compiles and runs there.  Hardware spot
+    checks of the shapes newly admitted by the 128 MB budget live in
+    scripts/bench_scale.py; the interpret-mode contract sweep is
+    tests/test_pallas.py::test_fits_vmem_contract_sweep."""
     wd = jnp.dtype(weight_dtype).itemsize
     V = decoder_params[0]["embedding"]["table"].shape[0]
     TVr = min(int(tile_v), _round_up(V, 128))
@@ -151,6 +160,7 @@ def _beam_kernel(
     alpha,
     CR,
     sos_id, eos_id,
+    topw="streaming",
 ):
     n_dec = len(dims)
     BW = B * W
@@ -169,6 +179,7 @@ def _beam_kernel(
     wout_buf = [scr[1 + 4 * d] for d in range(n_dec)]
     wih_sem = [scr[2 + 4 * d] for d in range(n_dec)]
     wout_sem = [scr[3 + 4 * d] for d in range(n_dec)]
+    fused_scr = scr[4 * n_dec] if topw == "stored" else None
     wdtype = emb_ref.dtype
 
     def wih_dma(d, slot, j):
@@ -317,6 +328,15 @@ def _beam_kernel(
             hs[d] = jnp.concatenate(h_parts, axis=1)
 
         # ---- 4. fused vocab scoring: streaming lse per decoder + top-W ----
+        # Two top-W layouts, output-identical (ties broken by min global
+        # token index either way; tests/test_pallas.py):
+        #   streaming — per tile, fold the tile's candidates into a running
+        #     (vals, tok) top-W: W serial extract-max passes interleaved
+        #     BETWEEN the vocab-projection matmuls (the round-3b layout)
+        #   stored — write each fused [BW, TV] tile into a VMEM scratch and
+        #     run ONE W-pass extract-max over the full [BW, Vp] after the
+        #     tile loop: the matmuls run back-to-back with no selection VPU
+        #     chain between them, at +BW*Vp*4 bytes of VMEM
         run_vals = jnp.full((BW, W), BOTTOM, f32)
         run_tok = jnp.full((BW, W), BIG_IDX, f32)
         m_lse = [jnp.full((BW, 1), BOTTOM, f32) for _ in range(n_dec)]
@@ -347,9 +367,25 @@ def _beam_kernel(
                 )
                 m_lse[d] = mnew
                 fused = fused + logits
+            if topw == "stored":
+                fused_scr[:, j * TV:(j + 1) * TV] = fused
+                continue
             tokio = jax.lax.broadcasted_iota(jnp.int32, (BW, TV), 1).astype(f32) + float(j * TV)
             cvals = jnp.concatenate([run_vals, fused], axis=1)
             cidx = jnp.concatenate([run_tok, tokio], axis=1)
+            nv_, nt_ = [], []
+            for _ in range(W):
+                mm = jnp.max(cvals, axis=1, keepdims=True)
+                sel = jnp.min(jnp.where(cvals == mm, cidx, BIG_IDX), axis=1, keepdims=True)
+                nv_.append(mm)
+                nt_.append(sel)
+                cvals = jnp.where(cidx == sel, BOTTOM, cvals)
+            run_vals = jnp.concatenate(nv_, axis=1)
+            run_tok = jnp.concatenate(nt_, axis=1)
+        if topw == "stored":
+            Vp_full = n_v * TV
+            cvals = fused_scr[:]                                         # [BW, Vp]
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (BW, Vp_full), 1).astype(f32)
             nv_, nt_ = [], []
             for _ in range(W):
                 mm = jnp.max(cvals, axis=1, keepdims=True)
@@ -456,7 +492,7 @@ def _beam_kernel(
     jax.jit,
     static_argnames=(
         "max_caption_len", "beam_width", "beam_alpha", "tile_g", "tile_v",
-        "weight_dtype", "interpret", "vmem_limit_mb", "rnn_types",
+        "weight_dtype", "interpret", "vmem_limit_mb", "rnn_types", "topw",
     ),
 )
 def beam_decode_pallas(
@@ -466,12 +502,17 @@ def beam_decode_pallas(
     max_caption_len: int = 30,
     beam_width: int = 5,
     beam_alpha: float = 0.0,
-    tile_g: int = 256,
-    tile_v: int = 1024,
+    # None = auto: prefer g512/v2048 (measured best at the headline shape,
+    # 3.07 vs 3.13 ms for g256/v1024; the whole sweep spans 3.07-3.18 ms —
+    # latency-chain bound, BENCH_NOTES round 4), shrinking to g256/v1024
+    # when the bigger double-buffers would blow the VMEM budget (e.g. W=10).
+    tile_g: Optional[int] = None,
+    tile_v: Optional[int] = None,
     weight_dtype: str = "bfloat16",
     interpret: bool = False,
     vmem_limit_mb: int = 64,
     rnn_types: tuple = ("LSTM", "LSTM"),
+    topw: str = "streaming",
 ) -> jnp.ndarray:
     """Fused beam search over joint (summed) decoder log-probs -> token ids
     ``[B, max_caption_len + 2]`` beginning with SOS — the same contract as
@@ -491,6 +532,17 @@ def beam_decode_pallas(
     L = int(max_caption_len) + 1              # scan steps (models/beam.py Lh)
     wd = jnp.dtype(weight_dtype)
     f32 = jnp.float32
+
+    if tile_g is None or tile_v is None:
+        # Auto tile selection: the measured-best big tiles when their bigger
+        # double-buffers keep the residency estimate inside the budget
+        # (headline shapes), else the minimal config (W=10-class shapes).
+        big_ok = fits_vmem(
+            decoder_params, feats_list, beam_width=W,
+            weight_dtype=weight_dtype, rnn_types=tuple(rnn_types),
+            tile_g=512, tile_v=2048,
+        )
+        tile_g, tile_v = (512, 2048) if big_ok else (256, 1024)
 
     V = decoder_params[0]["embedding"]["table"].shape[0]
     TV = min(int(tile_v), _round_up(V, 128))
@@ -621,11 +673,15 @@ def beam_decode_pallas(
         off += E
     vmem_ins = vmem_ins[:8] + [emb_cat] + vmem_ins[8:]
 
+    assert topw in ("streaming", "stored"), topw
+    if topw == "stored":
+        scratch.append(pltpu.VMEM((BW, Vp), f32))
     kernel = functools.partial(
         _beam_kernel,
         dims=tuple(dims), B=B, T=T, W=W, V=V, L=L,
         alpha=float(beam_alpha),
         CR=CR, sos_id=SOS_ID, eos_id=EOS_ID,
+        topw=topw,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec(memory_space=pl.ANY)

@@ -130,10 +130,16 @@ class Trainer:
                 cast_params(params), batch["audio"], batch["visual"], batch["captions"],
                 rng=rng, teacher_forcing_ratio=tf_ratio, feat_mask=feat_mask,
             )
+            # Bucketed collators pad partial batches and pad_batch_to_multiple
+            # pads for the dp axis: drop those rows from every batch-mean so
+            # the loss matches the reference's (never-batch-padded) math
+            # exactly — without the mask the entropy/global-recon terms dilute
+            # by n_real/B and local-recon MSE reads the zero rows (losses.py).
             loss, ce, ent, a_l, v_l = loss_fn(
                 outputs, batch["captions"],
                 batch["audio"], a_rec, batch["visual"], v_rec,
                 feat_mask=feat_mask,
+                sample_mask=batch.get("sample_mask"),
             )
             metrics = {"total": loss, "ce": ce, "e": ent, "a_recon": a_l, "v_recon": v_l}
             return loss, metrics

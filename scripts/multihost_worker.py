@@ -25,6 +25,18 @@ import argparse
 import json
 import os
 import sys
+import time
+
+_T0 = time.time()
+
+
+def _mark(msg: str) -> None:
+    """Phase timestamps to stderr — the cross-process stagger at any Gloo
+    rendezvous must stay under XLA's hardcoded 30 s KV-store timeout, and
+    these marks are how a timeout gets attributed (single-CPU starvation vs
+    a real bug)."""
+    print(f"[mh {os.environ.get('MH_PID', '?')} +{time.time() - _T0:7.2f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -61,11 +73,14 @@ def main() -> None:
     )
     from mvc_tpu.training.optimizer import make_optimizer
 
+    os.environ["MH_PID"] = str(args.process_id)
+    _mark("imports done, initializing jax.distributed")
     process_index, process_count = initialize(
         coordinator_address=args.coordinator,
         num_processes=args.num_processes,
         process_id=args.process_id,
     )
+    _mark("jax.distributed up")
     mesh = make_global_mesh(dp=-1, tp=args.tp)
 
     loader, ds = get_loader(
@@ -76,6 +91,7 @@ def main() -> None:
         process_index=process_index, process_count=process_count,
     )
     batch = next(iter(loader))
+    _mark("local batch loaded")
 
     a_dim = batch["audio"].shape[-1]
     v_dim = batch["visual"].shape[-1]
@@ -86,11 +102,16 @@ def main() -> None:
     opt_state = optimizer.init(params)
 
     gbatch = shard_batch(mesh, batch)
+    _mark("params + batch sharded")
     train_step = make_smoke_train_step(model, make_smoke_loss(), optimizer)
     step = jax.jit(train_step, donate_argnums=(0, 1))
-    params, opt_state, loss, gnorm, pnorm = step(
+    compiled = step.lower(params, opt_state, gbatch, jax.random.PRNGKey(1)).compile()
+    _mark("train step compiled")
+    params, opt_state, loss, gnorm, pnorm = compiled(
         params, opt_state, gbatch, jax.random.PRNGKey(1)
     )
+    loss = float(loss)
+    _mark("train step executed")
     print(json.dumps({
         "process_index": process_index,
         "process_count": process_count,

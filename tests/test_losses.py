@@ -149,3 +149,77 @@ def test_masked_equals_truncated(rng):
     l_trunc = float(losses.local_reconstruction_loss(
         jnp.asarray(feats[:, :T_real]), jnp.asarray(recons_l[:, :T_real])))
     np.testing.assert_allclose(l_masked, l_trunc, rtol=1e-5)
+
+
+def test_sample_mask_matches_unpadded_loss(rng):
+    """VERDICT r3 item 7 (uneven-per-host-batch edge): batch-padding rows
+    (sample_mask=False) must drop out of EVERY loss term — the padded batch
+    scores exactly what the reference would compute on the unpadded one.
+    Without the mask, entropy/global-recon dilute by n_real/B and local-recon
+    MSE reads the reconstructor's output on the zero rows."""
+    import jax
+    import numpy as np
+
+    from mvc_tpu.parallel.mesh import pad_batch_to_multiple
+    from mvc_tpu.training.losses import modality_wise_reconstruction_loss
+
+    L, B, V, T, AF, VF = 6, 5, 17, 4, 3, 7
+    caps = rng.integers(3, V, size=(L, B)).astype(np.int32)
+    caps[0] = 1
+    caps[-1, :2] = 0                       # some real PAD inside real rows
+    outputs = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(L, B, V)).astype(np.float32)), axis=2)
+    audio = rng.normal(size=(B, T, AF)).astype(np.float32)
+    visual = rng.normal(size=(B, T, VF)).astype(np.float32)
+    a_rec_g = rng.normal(size=(B, L, AF)).astype(np.float32)
+    v_rec_g = rng.normal(size=(B, L, VF)).astype(np.float32)
+    a_rec_l = rng.normal(size=(B, T, AF)).astype(np.float32)
+    v_rec_l = rng.normal(size=(B, T, VF)).astype(np.float32)
+    feat_mask = np.ones((B, T), bool)
+    feat_mask[1, 2:] = False
+
+    def pad_rows(x, n, axis=0):
+        shape = list(x.shape)
+        shape[axis] = n
+        return np.concatenate([np.asarray(x), np.zeros(shape, np.asarray(x).dtype)], axis=axis)
+
+    PAD_N = 3
+    for rec_type, a_r, v_r in (("global", a_rec_g, v_rec_g),
+                               ("local", a_rec_l, v_rec_l)):
+        for fm in (feat_mask, None):
+            ref = modality_wise_reconstruction_loss(
+                outputs, jnp.asarray(caps), jnp.asarray(audio), jnp.asarray(a_r),
+                jnp.asarray(visual), jnp.asarray(v_r),
+                reg_lambda=0.3, audio_recon_lambda=0.7, visual_recon_lambda=0.9,
+                rec_type=rec_type,
+                feat_mask=None if fm is None else jnp.asarray(fm),
+            )
+            # pad rows: zero features/captions, RANDOM recons on the pad rows
+            # (the reconstructor emits garbage there — it must not leak in)
+            pad_recons_a = pad_rows(a_r, PAD_N)
+            pad_recons_a[B:] = rng.normal(size=(PAD_N,) + a_r.shape[1:])
+            pad_recons_v = pad_rows(v_r, PAD_N)
+            pad_recons_v[B:] = rng.normal(size=(PAD_N,) + v_r.shape[1:])
+            sm = np.concatenate([np.ones(B, bool), np.zeros(PAD_N, bool)])
+            got = modality_wise_reconstruction_loss(
+                jnp.asarray(pad_rows(np.asarray(outputs), PAD_N, axis=1)),
+                jnp.asarray(pad_rows(caps, PAD_N, axis=1)),
+                jnp.asarray(pad_rows(audio, PAD_N)), jnp.asarray(pad_recons_a),
+                jnp.asarray(pad_rows(visual, PAD_N)), jnp.asarray(pad_recons_v),
+                reg_lambda=0.3, audio_recon_lambda=0.7, visual_recon_lambda=0.9,
+                rec_type=rec_type,
+                feat_mask=None if fm is None else jnp.asarray(pad_rows(fm, PAD_N)),
+                sample_mask=jnp.asarray(sm),
+            )
+            for a, b, name in zip(got, ref, ("loss", "ce", "ent", "a_rec", "v_rec")):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                    err_msg=f"{rec_type}/feat_mask={fm is not None}/{name}")
+
+    # pad_batch_to_multiple produces exactly this layout
+    batch = {"audio": audio, "visual": visual, "captions": caps,
+             "feat_mask": feat_mask, "sample_mask": np.ones(B, bool)}
+    padded = pad_batch_to_multiple(batch, 4)
+    assert padded["audio"].shape[0] == 8
+    assert padded["sample_mask"].sum() == B
+    assert not padded["sample_mask"][B:].any()

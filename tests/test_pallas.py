@@ -330,3 +330,133 @@ def test_pallas_fused_beam_gru_matches_xla(rng):
         rnn_types=("GRU", "LSTM"),
     ))
     np.testing.assert_array_equal(tok2, ref2)
+
+
+def test_fits_vmem_contract_sweep(rng):
+    """VERDICT r3 item 8: fuzz the VMEM pre-flight against its documented
+    contract over exotic shapes through the PRODUCTION dispatch gate
+    (models/captioning._pallas_dispatch): fits_vmem False => the dispatch
+    returns None without ever building a kernel (callers take the XLA scan);
+    True => the fused beam kernel builds, runs (interpret mode), and matches
+    the XLA beam token-for-token.  Covers huge T, V >> 4000, GRU+LSTM mixes,
+    and W=10."""
+    import os
+
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import beam as beam_mod
+    from mvc_tpu.models import attention as attn
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.models.captioning import _beam_init_state, _pallas_dispatch
+    from mvc_tpu.ops import dispatch
+    from mvc_tpu.ops.pallas_beam import beam_decode_pallas, fits_vmem
+
+    # (label, per-decoder (F, H, E, A, rnn_type), B, T, L, W, expect_fit)
+    cases = [
+        ("huge_T", [(24, 16, 8, 8, "LSTM")], 2, 128, 4, 2, True),
+        ("huge_V_8192", [(16, 16, 8, 8, "LSTM")], 2, 4, 3, 2, True),
+        ("gru_lstm_mix", [(24, 16, 8, 8, "GRU"), (12, 32, 10, 8, "LSTM")],
+         3, 5, 5, 3, True),
+        ("w10_dual", [(24, 16, 8, 8, "LSTM"), (12, 16, 8, 8, "LSTM")],
+         2, 4, 4, 10, True),
+        ("over_budget", [(8, 16, 8, 8, "LSTM")], 1024, 64, 2, 10, False),
+    ]
+    os.environ["MVC_PALLAS_INTERPRET"] = "1"
+    dispatch.enable_pallas(True)
+    dispatch.set_mesh(None)
+    try:
+        for label, decs, B, T, L, W, expect_fit in cases:
+            V = 8192 if label == "huge_V_8192" else (512 if label == "over_budget" else 48)
+            params_list, feats_list, cfgs = [], [], []
+            for i, (F, H, E, A, cell) in enumerate(decs):
+                cfg = DecoderConfig(in_feature_size=F, rnn_hidden_size=H,
+                                    embedding_size=E, attn_size=A,
+                                    output_size=V, rnn_type=cell)
+                cfgs.append(cfg)
+                params_list.append(dec.init_decoder(jax.random.PRNGKey(20 + i), cfg))
+                feats_list.append(jnp.asarray(
+                    rng.normal(size=(B, T, F)).astype(np.float32)))
+            rnn_types = tuple(c.rnn_type for c in cfgs)
+
+            assert fits_vmem(params_list, feats_list, beam_width=W,
+                             rnn_types=rnn_types) is expect_fit, label
+
+            built = []
+
+            def make_kernel():
+                built.append(True)
+                return lambda p, fl, m: beam_decode_pallas(
+                    p, fl, feat_mask=m, max_caption_len=L, beam_width=W,
+                    beam_alpha=0.0, weight_dtype="float32",
+                    rnn_types=rnn_types, interpret=True,
+                )
+
+            tok = _pallas_dispatch(params_list, feats_list, None, rnn_types,
+                                   W, make_kernel, None)
+            if not expect_fit:
+                # contract: False => no kernel built, caller falls back
+                assert tok is None and not built, label
+                continue
+            assert tok is not None and built, label
+
+            # XLA beam reference at the same shapes
+            keys = [attn.precompute_keys(p["attention"], f)
+                    for p, f in zip(params_list, feats_list)]
+
+            def step_fn(prev, state):
+                lps, new = None, []
+                for p, c, f, k, s in zip(params_list, cfgs, feats_list, keys, state):
+                    lp, ns = dec.decoder_beam_step(p, c, prev, s, f, k, None,
+                                                   jnp.float32)
+                    lps = lp if lps is None else lps + lp
+                    new.append(ns)
+                return lps, tuple(new)
+
+            init = tuple(_beam_init_state(c.rnn_type, B, W, c.rnn_hidden_size,
+                                          jnp.float32) for c in cfgs)
+            ref = np.asarray(beam_mod.beam_search(
+                step_fn, init, B, V, max_caption_len=L, beam_alpha=0.0,
+                beam_width=W,
+            ))
+            np.testing.assert_array_equal(np.asarray(tok), ref, err_msg=label)
+    finally:
+        os.environ.pop("MVC_PALLAS_INTERPRET", None)
+        dispatch._override = None
+
+
+def test_pallas_beam_stored_topw_matches_streaming(rng):
+    """The stored-logits top-W layout (one W-pass extract-max over a VMEM
+    [BW, Vp] scratch after the tile loop) must be token-identical to the
+    streaming layout (running top-W folded per tile) — same candidate set,
+    same min-global-index tie-break.  Dual + mask + alpha>0, and GRU single."""
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.ops.pallas_beam import beam_decode_pallas
+
+    gcfg = DecoderConfig(in_feature_size=24, rnn_hidden_size=16, embedding_size=8,
+                         attn_size=8, output_size=31)
+    lcfg = DecoderConfig(in_feature_size=12, rnn_hidden_size=32, embedding_size=10,
+                         attn_size=8, output_size=31)
+    gp = dec.init_decoder(jax.random.PRNGKey(9), gcfg)
+    lp = dec.init_decoder(jax.random.PRNGKey(10), lcfg)
+    B, T, L, W = 3, 4, 8, 3
+    gfeats = jnp.asarray(rng.normal(size=(B, T, 24)).astype(np.float32))
+    lfeats = jnp.asarray(rng.normal(size=(B, T, 12)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[0, 2:] = False
+    mask = jnp.asarray(mask)
+    kw = dict(feat_mask=mask, max_caption_len=L, beam_width=W, beam_alpha=0.7,
+              weight_dtype="float32", interpret=True)
+    a = np.asarray(beam_decode_pallas([gp, lp], [gfeats, lfeats],
+                                      topw="streaming", **kw))
+    b = np.asarray(beam_decode_pallas([gp, lp], [gfeats, lfeats],
+                                      topw="stored", **kw))
+    np.testing.assert_array_equal(a, b)
+
+    ggcfg = DecoderConfig(in_feature_size=24, rnn_hidden_size=16, embedding_size=8,
+                          attn_size=8, output_size=29, rnn_type="GRU")
+    ggp = dec.init_decoder(jax.random.PRNGKey(4), ggcfg)
+    kw2 = dict(max_caption_len=6, beam_width=4, weight_dtype="float32",
+               interpret=True, rnn_types=("GRU",))
+    a2 = np.asarray(beam_decode_pallas([ggp], [gfeats], topw="streaming", **kw2))
+    b2 = np.asarray(beam_decode_pallas([ggp], [gfeats], topw="stored", **kw2))
+    np.testing.assert_array_equal(a2, b2)

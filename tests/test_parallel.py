@@ -130,3 +130,58 @@ def test_distributed_helpers_single_process():
     assert data_shard() == (0, 1)
     mesh = make_global_mesh(dp=-1, tp=2)
     assert mesh.shape == {"dp": 4, "tp": 2}
+
+
+def test_uneven_batch_dp_padding_equivalence(rng):
+    """VERDICT r3 item 7: a batch that does NOT divide the dp axis is padded
+    by pad_batch_to_multiple (the trainer's own path, trainer.py _put_batch)
+    — with sample_mask in the loss, the padded sharded step must produce the
+    SAME loss and parameter update as the unpadded batch."""
+    from mvc_tpu.config import TrainerConfig
+    from mvc_tpu.parallel.smoke import make_smoke_loss, make_smoke_model
+    from mvc_tpu.training import optimizer as opt_lib
+    from mvc_tpu.training.trainer import Trainer
+
+    B, T, L, VOC, AD, VD = 6, 4, 7, 23, 5, 9
+    model = make_smoke_model(VOC, AD, VD)
+    params = model.init(jax.random.PRNGKey(0))
+    cfg = TrainerConfig(batch_size=B)
+    tr = Trainer("uneven", log_dir=None)
+    tr._optimizer = opt_lib.make_optimizer(cfg)
+    train_step, _ = tr._build_train_step(model, cfg)
+    opt_state = tr._optimizer.init(params)
+
+    caps = rng.integers(3, VOC, size=(L, B)).astype(np.int32)
+    caps[0] = 1
+    batch = {
+        "audio": rng.normal(size=(B, T, AD)).astype(np.float32),
+        "visual": rng.normal(size=(B, T, VD)).astype(np.float32),
+        "captions": caps,
+        "feat_mask": np.ones((B, T), bool),
+        "sample_mask": np.ones((B,), bool),
+    }
+    rng_key = jax.random.PRNGKey(3)
+
+    # unpadded single-device reference
+    ref_params, _, ref_metrics = train_step(
+        params, opt_state, {k: jnp.asarray(v) for k, v in batch.items()}, rng_key)
+
+    # padded (6 -> 8) over a dp=4 mesh — 2 rows per device, 2 of them padding
+    # (params/opt_state were donated to the first call; re-init identically)
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    padded = pad_batch_to_multiple(batch, 4)
+    assert padded["audio"].shape[0] == 8
+    params = model.init(jax.random.PRNGKey(0))
+    p_sh = jax.device_put(params, param_shardings(mesh, params))
+    opt_sh = tr._optimizer.init(p_sh)
+    got_params, _, got_metrics = train_step(
+        p_sh, opt_sh, shard_batch(mesh, padded), rng_key)
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            np.asarray(got_metrics[k]), np.asarray(ref_metrics[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        got_params, ref_params)
