@@ -291,16 +291,16 @@ def main():
     vocab = Vocabulary.load(f"{args.root}/metadata/vocab.json")
     ref_cap = _reference_imports()
 
-    def loaders():
+    def loaders(video_only):
         train_loader, _ = get_loader(
             root_dir=args.root, dataset="MSVD", split="train", batch_size=BATCH,
-            shuffle=False, verbose=False,
+            shuffle=False, verbose=False, video_only=video_only,
             vocab_path=f"{args.root}/metadata/vocab.json",
             frame_buckets=(T_CONST,), caption_buckets=(12,),
         )
         _, val_ds = get_loader(
             root_dir=args.root, dataset="MSVD", split="val", batch_size=BATCH,
-            shuffle=False, verbose=False,
+            shuffle=False, verbose=False, video_only=video_only,
             vocab_path=f"{args.root}/metadata/vocab.json",
             frame_buckets=(T_CONST,), caption_buckets=(12,),
         )
@@ -308,15 +308,19 @@ def main():
             val_ds, BATCH, frame_buckets=(T_CONST,))
         return train_loader, vidcap
 
+    # The reference sweep's modality axis is the dataset's video_only switch
+    # (audio zeroed at load, src/get_loader.py:264-266 / src/train.py:377-430),
+    # crossed with the reconstructor type.
     sweep = []
-    for audio_lambda, tag in ((0.0, "video"), (0.00005, "video_audio")):
+    for video_only, tag in ((True, "video"), (False, "video_audio")):
         for rec in ("none", "local", "global"):
-            sweep.append((tag, rec, dict(reg_lambda=0.0005,
-                                         audio_recon_lambda=audio_lambda,
-                                         visual_recon_lambda=0.5)))
+            sweep.append((tag, video_only, rec,
+                          dict(reg_lambda=0.0005,
+                               audio_recon_lambda=0.0 if video_only else 0.00005,
+                               visual_recon_lambda=0.5)))
 
     results = {}
-    for tag, rec, lambdas in sweep:
+    for tag, video_only, rec, lambdas in sweep:
         print(f"=== {tag} / {rec} ===", flush=True)
         ref = _ref_model(ref_cap, vocab, rec)
         init = {
@@ -338,12 +342,12 @@ def main():
                 embedding_size=8, attn_size=6),
         )
 
-        train_loader, vidcap = loaders()
+        train_loader, vidcap = loaders(video_only)
         params = train_ours(ours, init, train_loader, lambdas, args.epochs,
                             lr=1e-3)
         our_cider, our_res, _ = eval_ours(ours, params, vidcap, vocab)
 
-        train_loader, vidcap = loaders()
+        train_loader, vidcap = loaders(video_only)
         train_reference(ref, train_loader, lambdas, args.epochs, lr=1e-3)
         ref_cider, ref_res = eval_reference(ref, vidcap)
 
