@@ -516,8 +516,15 @@ def _consolidated(metrics: dict) -> dict:
     }
 
 
+# Real stdout is reserved for the JSON artifact lines: library code prints
+# model banners (models/captioning.py "Initializing Model...") that would
+# otherwise interleave with them, so main() points sys.stdout at stderr and
+# _emit writes here.
+_OUT = sys.stdout
+
+
 def _emit(payload: dict) -> None:
-    print(json.dumps(payload), flush=True)
+    print(json.dumps(payload), file=_OUT, flush=True)
 
 
 def _load_lastgood() -> dict | None:
@@ -536,7 +543,7 @@ def _emit_stale_and_exit(reason: str) -> None:
         _emit({"metric": "captions/sec (beam decode, width 5, dual model)",
                "value": None, "unit": "captions/s", "vs_baseline": None,
                "metrics": {}, "error": reason})
-    sys.stdout.flush()
+    _OUT.flush()
     sys.stderr.flush()
     # The hung backend-init thread (if any) is unkillable; exit hard.
     os._exit(0)
@@ -598,6 +605,7 @@ def main():
                     help="comma list of beam,greedy,bulk,train,extract")
     args = ap.parse_args()
     which = set(args.only.split(","))
+    sys.stdout = sys.stderr   # JSON-only real stdout; see _OUT
 
     # First output: the last driver-verified numbers, marked stale.  If the
     # tunnel is up this line is superseded below; if anything hangs or dies
