@@ -220,10 +220,41 @@ def train_ours(model, init_params, loader, lambdas, epochs, lr):
     return params
 
 
+# The pivot scores every metric BOTH frameworks can compute here: BLEU_4,
+# ROUGE_L, CIDEr.  The reference's METEOR needs meteor-1.5.jar — a missing
+# LFS blob even upstream (pycocoevalcap/meteor/meteor.py:19-25) — so a
+# two-sided METEOR column is impossible by construction; ours is exercised
+# in tests/test_meteor_alignment.py instead.
+METRICS = ("CIDEr", "BLEU_4", "ROUGE_L")
+
+
+def _our_scores(gts, res):
+    from mvc_tpu.evalcap.bleu import Bleu
+    from mvc_tpu.evalcap.cider import Cider
+    from mvc_tpu.evalcap.rouge import Rouge
+
+    bleu, _ = Bleu(4).compute_score(gts, res)
+    rouge, _ = Rouge().compute_score(gts, res)
+    cider, _ = Cider().compute_score(gts, res)
+    return {"CIDEr": float(cider), "BLEU_4": float(bleu[3]),
+            "ROUGE_L": float(rouge)}
+
+
+def _ref_scores(gts, res):
+    from pycocoevalcap.bleu.bleu import Bleu as RefBleu
+    from pycocoevalcap.cider.cider import Cider as RefCider
+    from pycocoevalcap.rouge.rouge import Rouge as RefRouge
+
+    bleu, _ = RefBleu(4).compute_score(gts, res)
+    rouge, _ = RefRouge().compute_score(gts, res)
+    cider, _ = RefCider().compute_score(gts, res)
+    return {"CIDEr": float(cider), "BLEU_4": float(bleu[3]),
+            "ROUGE_L": float(rouge)}
+
+
 def eval_ours(model, params, vidcap_loader, vocab, max_len=16):
     import jax.numpy as jnp
 
-    from mvc_tpu.evalcap.cider import Cider
     from mvc_tpu.models.captioning import captions_from_tokens
 
     gts, res = {}, {}
@@ -239,13 +270,11 @@ def eval_ours(model, params, vidcap_loader, vocab, max_len=16):
                 continue
             gts[vid] = list(gt)
             res[vid] = [gen]
-    score, _ = Cider().compute_score(gts, res)
-    return float(score), res, gts
+    return _our_scores(gts, res), res, gts
 
 
 def eval_reference(ref, vidcap_loader, max_len=16):
     import torch
-    from pycocoevalcap.cider.cider import Cider as RefCider
 
     gts, res = {}, {}
     with torch.no_grad():
@@ -260,8 +289,7 @@ def eval_reference(ref, vidcap_loader, max_len=16):
                     continue
                 gts[vid] = list(gt)
                 res[vid] = [gen]
-    score, _ = RefCider().compute_score(gts, res)
-    return float(score), res
+    return _ref_scores(gts, res), res
 
 
 def main():
@@ -345,18 +373,22 @@ def main():
         train_loader, vidcap = loaders(video_only)
         params = train_ours(ours, init, train_loader, lambdas, args.epochs,
                             lr=1e-3)
-        our_cider, our_res, _ = eval_ours(ours, params, vidcap, vocab)
+        our_scores, our_res, _ = eval_ours(ours, params, vidcap, vocab)
 
         train_loader, vidcap = loaders(video_only)
         train_reference(ref, train_loader, lambdas, args.epochs, lr=1e-3)
-        ref_cider, ref_res = eval_reference(ref, vidcap)
+        ref_scores, ref_res = eval_reference(ref, vidcap)
 
         agree = np.mean([our_res[k] == ref_res[k] for k in our_res])
-        results[(tag, rec)] = (our_cider, ref_cider, float(agree))
-        print(f"  ours CIDEr={our_cider:.3f}  ref CIDEr={ref_cider:.3f}  "
-              f"identical-caption rate={agree:.2f}", flush=True)
+        results[(tag, rec)] = (our_scores, ref_scores, float(agree))
+        print("  " + "  ".join(
+            f"{m}: ours={our_scores[m]:.3f} ref={ref_scores[m]:.3f}"
+            for m in METRICS) + f"  identical-caption rate={agree:.2f}",
+            flush=True)
 
     # ---------------- pivot + assertions ----------------
+    header = "| modality | reconstructor | " + " | ".join(
+        f"ours {m} | ref {m}" for m in METRICS) + " | identical captions |"
     lines = [
         "# Quality ladder — 6-experiment sweep, synthetic corpus "
         "(VERDICT r3 item 4)",
@@ -366,32 +398,39 @@ def main():
         f"2 captions/clip; both frameworks trained {args.epochs} epochs from "
         "IDENTICAL converted init weights, identical batch order, lr 1e-3, "
         "reference step semantics on torch CPU vs our step on jax CPU; "
-        "val CIDEr via each framework's OWN scorer "
-        "(mvc_tpu.evalcap vs vendored pycocoevalcap).",
+        "every metric via each framework's OWN scorer stack "
+        "(mvc_tpu.evalcap vs vendored pycocoevalcap).  METEOR is absent "
+        "because the reference side cannot compute it at all (meteor-1.5.jar "
+        "is a missing LFS blob upstream); ours is parity-tested in "
+        "tests/test_meteor_alignment.py.",
         "",
-        "| modality | reconstructor | ours CIDEr | reference CIDEr | identical captions |",
-        "|---|---|---|---|---|",
+        header,
+        "|" + "---|" * (2 + 2 * len(METRICS) + 1),
     ]
     for (tag, rec), (o, r, a) in results.items():
-        lines.append(f"| {tag} | {rec} | {o:.3f} | {r:.3f} | {a:.2f} |")
+        cells_txt = " | ".join(f"{o[m]:.3f} | {r[m]:.3f}" for m in METRICS)
+        lines.append(f"| {tag} | {rec} | {cells_txt} | {a:.2f} |")
 
     cells = list(results.values())
-    max_diff = max(abs(o - r) for o, r, _ in cells)
-    ours_order = np.argsort([o for o, _, _ in cells])
-    ref_order = np.argsort([r for _, r, _ in cells])
+    max_diff = {m: max(abs(o[m] - r[m]) for o, r, _ in cells)
+                for m in METRICS}
+    ours_order = np.argsort([o["CIDEr"] for o, _, _ in cells])
+    ref_order = np.argsort([r["CIDEr"] for _, r, _ in cells])
     order_agree = (ours_order == ref_order).mean()
     lines += [
         "",
-        f"Max per-cell |ours - ref| CIDEr: {max_diff:.3f} "
-        f"(tolerance {args.tolerance})",
-        f"Score-ordering agreement across the 6 cells: {order_agree:.2f} "
+        "Max per-cell |ours - ref|: " + ", ".join(
+            f"{m} {max_diff[m]:.3f}" for m in METRICS)
+        + f" (CIDEr tolerance {args.tolerance})",
+        f"CIDEr ordering agreement across the 6 cells: {order_agree:.2f} "
         "(argsort positions equal)",
     ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
-    assert max_diff <= args.tolerance, (
-        f"per-cell CIDEr divergence {max_diff} exceeds {args.tolerance}")
+    assert max_diff["CIDEr"] <= args.tolerance, (
+        f"per-cell CIDEr divergence {max_diff['CIDEr']} exceeds "
+        f"{args.tolerance}")
 
 
 if __name__ == "__main__":
