@@ -1,0 +1,289 @@
+"""Continuous-batching caption service.
+
+Design (TPU-first):
+
+- **Static shapes only.** Every device call is ``[max_batch, t_pad, D]``
+  where ``t_pad`` comes from the same frame-bucket ladder the data pipeline
+  uses (``mvc_tpu.data.dataset._bucket``) and the batch axis is always padded
+  to the configured ``max_batch``.  One jit compile per distinct ``t_pad`` —
+  the executable set is bounded by ``len(frame_buckets)`` no matter what
+  traffic looks like, and ``warmup()`` can pay for all of them before the
+  first request arrives.
+- **One worker, one chip.** A single background thread owns the device
+  (matching the one-process-per-chip axon rule); callers block on a
+  ``concurrent.futures.Future``.  Batching is time-and-size windowed: the
+  worker waits ``max_wait_ms`` after the first queued request (or until
+  ``max_batch`` requests are in hand) before launching, so throughput under
+  load comes from real batching, not from stacking device calls.
+- **Row independence is the correctness contract.** Padded rows carry
+  ``feat_mask=False`` / zero features exactly like the eval collator
+  (``collate_eval_batch``), and every model op is batched with masked
+  attention, so a request's caption is identical whether it shared a batch
+  or rode alone — asserted by tests/test_serving.py.
+
+The model side is the ordinary predict contract (``predict_tokens`` on
+AVCaptioning / AVCaptioningDual / TransformerCaptioner): direct mode uses the
+text-identical all-EOS early exit (PARITY.md) so latency tracks the longest
+caption in the batch, not ``max_caption_len``.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mvc_tpu.data.dataset import _bucket
+
+
+@dataclasses.dataclass(frozen=True)
+class ServiceConfig:
+    """Batching/decode knobs for :class:`CaptionService`."""
+
+    max_batch: int = 64
+    max_wait_ms: float = 5.0
+    frame_buckets: Sequence[int] = (8, 16, 32, 48, 64)
+    max_caption_len: int = 30
+    mode: str = "direct"  # "direct" | "beam"
+    beam_width: int = 5
+    beam_alpha: float = 0.0
+    audio_dim: int = 128
+    visual_dim: int = 2048
+    # direct mode stops once every row has emitted EOS — caption text is
+    # identical (PARITY.md); beam has no such switch.
+    stop_at_all_eos: bool = True
+    latency_window: int = 2048  # latencies kept for the percentile stats
+
+
+class _Request:
+    __slots__ = ("audio", "visual", "future", "t_submit")
+
+    def __init__(self, audio: np.ndarray, visual: np.ndarray):
+        self.audio = audio
+        self.visual = visual
+        self.future: Future = Future()
+        self.t_submit = time.perf_counter()
+
+
+_SHUTDOWN = object()
+
+
+class CaptionService:
+    """Thread-safe online captioner over a jitted model predict path."""
+
+    def __init__(self, model, params, vocab, config: Optional[ServiceConfig] = None):
+        self.model = model
+        self.params = params
+        self.vocab = vocab
+        self.config = config or ServiceConfig()
+        if self.config.mode not in ("direct", "beam"):
+            raise ValueError(f"unknown mode {self.config.mode!r}")
+
+        self._queue: "queue.Queue" = queue.Queue()
+        self._predict_by_tpad: Dict[int, object] = {}
+        self._lock = threading.Lock()
+        self._latencies = collections.deque(maxlen=self.config.latency_window)
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_rows = 0  # real (non-padding) rows launched
+        self._t_start = time.perf_counter()
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._run, name="caption-service-worker", daemon=True
+        )
+        self._worker.start()
+
+    # ------------------------------------------------------------- client API
+
+    def submit(self, visual: np.ndarray, audio: Optional[np.ndarray] = None) -> Future:
+        """Enqueue one clip's features; resolves to the caption string.
+
+        ``visual`` is ``[T, visual_dim]``; ``audio`` is ``[T, audio_dim]`` or
+        None for video-only traffic (zero-filled, matching the dataset's
+        ``video_only`` contract, reference src/get_loader.py:243-246).
+        """
+        if self._closed:
+            raise RuntimeError("service is closed")
+        visual = np.asarray(visual, dtype=np.float32)
+        if visual.ndim != 2 or visual.shape[1] != self.config.visual_dim:
+            raise ValueError(
+                f"visual must be [T, {self.config.visual_dim}], got {visual.shape}"
+            )
+        t = visual.shape[0]
+        if t < 1:
+            raise ValueError("empty clip: T must be >= 1")
+        if audio is None:
+            audio = np.zeros((t, self.config.audio_dim), dtype=np.float32)
+        else:
+            audio = np.asarray(audio, dtype=np.float32)
+            if audio.shape != (t, self.config.audio_dim):
+                raise ValueError(
+                    f"audio must be [T={t}, {self.config.audio_dim}], got {audio.shape}"
+                )
+        req = _Request(audio, visual)
+        self._queue.put(req)
+        return req.future
+
+    def caption(self, visual: np.ndarray, audio: Optional[np.ndarray] = None,
+                timeout: Optional[float] = None) -> str:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(visual, audio).result(timeout=timeout)
+
+    def warmup(self, t_lengths: Optional[Sequence[int]] = None) -> List[int]:
+        """Compile the device executables ahead of traffic.
+
+        Runs one dummy batch per distinct frame bucket implied by
+        ``t_lengths`` (default: every rung of the configured ladder) and
+        returns the list of warmed ``t_pad`` values.
+        """
+        lengths = list(t_lengths) if t_lengths is not None else list(self.config.frame_buckets)
+        warmed = []
+        for t_pad in sorted({_bucket(t, self.config.frame_buckets) for t in lengths}):
+            dummy_v = np.zeros((t_pad, self.config.visual_dim), dtype=np.float32)
+            self.submit(dummy_v).result()
+            warmed.append(t_pad)
+        return warmed
+
+    def reset_stats(self) -> None:
+        """Zero the counters/latency window (e.g. right after warmup)."""
+        with self._lock:
+            self._latencies.clear()
+            self._n_requests = self._n_batches = self._n_rows = 0
+            self._t_start = time.perf_counter()
+
+    def stats(self) -> Dict[str, object]:
+        with self._lock:
+            lat = sorted(self._latencies)
+            n_requests, n_batches, n_rows = self._n_requests, self._n_batches, self._n_rows
+            t_start = self._t_start
+
+        def pct(p: float) -> Optional[float]:
+            if not lat:
+                return None
+            return 1e3 * lat[min(len(lat) - 1, int(p * len(lat)))]
+
+        elapsed = time.perf_counter() - t_start
+        return {
+            "requests": n_requests,
+            "batches": n_batches,
+            "mean_batch_occupancy": (n_rows / n_batches) if n_batches else None,
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p95": pct(0.95),
+            "latency_ms_p99": pct(0.99),
+            "requests_per_s": n_requests / elapsed if elapsed > 0 else None,
+            "compiled_t_pads": sorted(self._predict_by_tpad),
+            "queue_depth": self._queue.qsize(),
+            "mode": self.config.mode,
+            "max_batch": self.config.max_batch,
+        }
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(_SHUTDOWN)
+        self._worker.join()
+
+    def __enter__(self) -> "CaptionService":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ---------------------------------------------------------------- worker
+
+    def _predict_fn(self, t_pad: int):
+        fn = self._predict_by_tpad.get(t_pad)
+        if fn is None:
+            import jax
+
+            cfg = self.config
+            extra = (
+                {"stop_at_all_eos": True}
+                if cfg.mode == "direct" and cfg.stop_at_all_eos
+                else {}
+            )
+            fn = jax.jit(
+                lambda p, a, v, m: self.model.predict_tokens(
+                    p, a, v,
+                    max_caption_len=cfg.max_caption_len,
+                    mode=cfg.mode,
+                    beam_alpha=cfg.beam_alpha,
+                    beam_width=cfg.beam_width,
+                    feat_mask=m,
+                    **extra,
+                )
+            )
+            self._predict_by_tpad[t_pad] = fn
+        return fn
+
+    def _collect(self) -> Optional[List[_Request]]:
+        """Block for the first request, then window for more."""
+        first = self._queue.get()
+        if first is _SHUTDOWN:
+            return None
+        batch = [first]
+        deadline = time.perf_counter() + self.config.max_wait_ms / 1e3
+        while len(batch) < self.config.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is _SHUTDOWN:
+                # re-post so the loop exits after this batch completes
+                self._queue.put(_SHUTDOWN)
+                break
+            batch.append(nxt)
+        return batch
+
+    def _launch(self, batch: List[_Request]) -> None:
+        from mvc_tpu.models.captioning import captions_from_tokens
+
+        cfg = self.config
+        n = len(batch)
+        t_pad = _bucket(max(r.visual.shape[0] for r in batch), cfg.frame_buckets)
+        audio = np.zeros((cfg.max_batch, t_pad, cfg.audio_dim), dtype=np.float32)
+        visual = np.zeros((cfg.max_batch, t_pad, cfg.visual_dim), dtype=np.float32)
+        feat_mask = np.zeros((cfg.max_batch, t_pad), dtype=bool)
+        for i, r in enumerate(batch):
+            t = r.visual.shape[0]
+            audio[i, :t] = r.audio
+            visual[i, :t] = r.visual
+            feat_mask[i, :t] = True
+
+        # np.asarray is the materialization point (block_until_ready is a
+        # no-op through the axon tunnel — CLAUDE.md).
+        tokens = np.asarray(
+            self._predict_fn(t_pad)(self.params, audio, visual, feat_mask)
+        )
+        captions = captions_from_tokens(self.vocab, tokens[:n])
+        now = time.perf_counter()
+        with self._lock:
+            for r in batch:
+                self._latencies.append(now - r.t_submit)
+            self._n_requests += n
+            self._n_batches += 1
+            self._n_rows += n
+        for r, cap in zip(batch, captions):
+            r.future.set_result(cap)
+
+    def _run(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            try:
+                self._launch(batch)
+            except BaseException as e:  # resolve futures; keep serving
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)

@@ -1,0 +1,219 @@
+"""Online serving layer (mvc_tpu/serving/): continuous batching correctness.
+
+The contract under test: a request's caption is IDENTICAL whether it rode a
+shared padded batch through the service or a solo padded batch through
+``predict_tokens`` directly (row independence via feat_mask — same contract
+as collate_eval_batch), the compiled-shape set stays bounded by the frame
+bucket ladder, and the stdlib HTTP front end round-trips JSON.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from mvc_tpu.config import DecoderConfig
+from mvc_tpu.data import Vocabulary
+from mvc_tpu.data.dataset import _bucket
+from mvc_tpu.models import AVCaptioningDual
+from mvc_tpu.models.captioning import captions_from_tokens
+from mvc_tpu.serving import CaptionService, ServiceConfig, make_http_server
+
+A_DIM, V_DIM = 8, 16
+BUCKETS = (4, 8)
+
+TINY_V = DecoderConfig(rnn_type="LSTM", in_feature_size=V_DIM, rnn_hidden_size=12,
+                       embedding_size=8, attn_size=6, output_size=1)
+TINY_A = DecoderConfig(rnn_type="LSTM", in_feature_size=A_DIM, rnn_hidden_size=10,
+                       embedding_size=8, attn_size=6, output_size=1)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    vocab = Vocabulary(freq_threshold=1)
+    vocab.build_vocabulary([
+        "a man plays a guitar",
+        "a dog runs on grass",
+        "someone slices a tomato",
+    ])
+    model = AVCaptioningDual(vocab_size=len(vocab), reconstructor_type="none",
+                             visual_decoder_config=TINY_V, audio_decoder_config=TINY_A)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params, vocab
+
+
+def _requests(rng, n, t_lo=2, t_hi=8):
+    out = []
+    for _ in range(n):
+        t = int(rng.integers(t_lo, t_hi + 1))
+        out.append((
+            rng.normal(size=(t, V_DIM)).astype(np.float32),
+            rng.normal(size=(t, A_DIM)).astype(np.float32),
+        ))
+    return out
+
+
+def _expected(model, params, vocab, visual, audio, cfg: ServiceConfig):
+    """Solo-batch oracle with the service's exact padding semantics."""
+    t = visual.shape[0]
+    t_pad = _bucket(t, cfg.frame_buckets)
+    a = np.zeros((1, t_pad, cfg.audio_dim), dtype=np.float32)
+    v = np.zeros((1, t_pad, cfg.visual_dim), dtype=np.float32)
+    m = np.zeros((1, t_pad), dtype=bool)
+    a[0, :t], v[0, :t], m[0, :t] = audio, visual, True
+    tokens = model.predict_tokens(
+        params, a, v, max_caption_len=cfg.max_caption_len, mode=cfg.mode,
+        beam_alpha=cfg.beam_alpha, beam_width=cfg.beam_width, feat_mask=m,
+    )
+    return captions_from_tokens(vocab, np.asarray(tokens))[0]
+
+
+@pytest.mark.parametrize("mode", ["direct", "beam"])
+def test_batched_captions_match_solo_oracle(tiny, rng, mode):
+    model, params, vocab = tiny
+    cfg = ServiceConfig(max_batch=4, max_wait_ms=300.0, frame_buckets=BUCKETS,
+                        max_caption_len=6, mode=mode, beam_width=3,
+                        audio_dim=A_DIM, visual_dim=V_DIM)
+    # one frame bucket (T in 5..8 -> t_pad 8) so the solo oracle shares the
+    # service's padded shape no matter how requests coalesce into batches
+    reqs = _requests(rng, 6, t_lo=5, t_hi=8)
+    with CaptionService(model, params, vocab, cfg) as svc:
+        futures = [svc.submit(v, a) for v, a in reqs]
+        got = [f.result(timeout=300) for f in futures]
+        stats = svc.stats()
+
+    for (visual, audio), cap in zip(reqs, got):
+        assert cap == _expected(model, params, vocab, visual, audio, cfg)
+    # continuous batching actually happened (6 requests, window 300 ms)
+    assert stats["requests"] == 6
+    assert stats["batches"] < 6
+    assert stats["mean_batch_occupancy"] > 1.0
+    assert stats["latency_ms_p50"] is not None
+
+
+def test_compiled_shape_set_is_bounded_by_buckets(tiny, rng):
+    model, params, vocab = tiny
+    cfg = ServiceConfig(max_batch=3, max_wait_ms=1.0, frame_buckets=BUCKETS,
+                        max_caption_len=5, audio_dim=A_DIM, visual_dim=V_DIM)
+    with CaptionService(model, params, vocab, cfg) as svc:
+        warmed = svc.warmup()
+        assert warmed == [4, 8]
+        svc.reset_stats()
+        for visual, audio in _requests(rng, 8, t_lo=1, t_hi=8):
+            svc.submit(visual, audio).result(timeout=300)
+        stats = svc.stats()
+    # 8 mixed-length requests never grew the executable set past the ladder
+    assert stats["compiled_t_pads"] == [4, 8]
+    assert stats["requests"] == 8
+
+
+def test_above_ladder_lengths_extend_like_the_collator(tiny, rng):
+    model, params, vocab = tiny
+    cfg = ServiceConfig(max_batch=2, max_wait_ms=1.0, frame_buckets=BUCKETS,
+                        max_caption_len=5, audio_dim=A_DIM, visual_dim=V_DIM)
+    visual, audio = _requests(rng, 1, t_lo=11, t_hi=11)[0]
+    with CaptionService(model, params, vocab, cfg) as svc:
+        cap = svc.submit(visual, audio).result(timeout=300)
+        assert svc.stats()["compiled_t_pads"] == [16]  # next multiple of 8
+    assert cap == _expected(model, params, vocab, visual, audio, cfg)
+
+
+def test_submit_validates_shapes(tiny):
+    model, params, vocab = tiny
+    cfg = ServiceConfig(audio_dim=A_DIM, visual_dim=V_DIM)
+    with CaptionService(model, params, vocab, cfg) as svc:
+        with pytest.raises(ValueError):
+            svc.submit(np.zeros((3, V_DIM + 1), np.float32))
+        with pytest.raises(ValueError):
+            svc.submit(np.zeros((3, V_DIM), np.float32),
+                       np.zeros((2, A_DIM), np.float32))
+        with pytest.raises(ValueError):
+            svc.submit(np.zeros((0, V_DIM), np.float32))
+    with pytest.raises(RuntimeError):
+        svc.submit(np.zeros((3, V_DIM), np.float32))  # closed
+
+
+def test_video_only_requests_zero_fill_audio(tiny, rng):
+    model, params, vocab = tiny
+    cfg = ServiceConfig(max_batch=2, max_wait_ms=1.0, frame_buckets=BUCKETS,
+                        max_caption_len=5, audio_dim=A_DIM, visual_dim=V_DIM)
+    visual = rng.normal(size=(5, V_DIM)).astype(np.float32)
+    with CaptionService(model, params, vocab, cfg) as svc:
+        cap = svc.submit(visual).result(timeout=300)
+    zeros = np.zeros((5, A_DIM), np.float32)
+    assert cap == _expected(model, params, vocab, visual, zeros, cfg)
+
+
+def test_caption_is_invariant_to_frame_padding(tiny, rng):
+    """The property the service's bucketing leans on: with feat_mask set,
+    the caption doesn't depend on which bucket the clip was padded to (so a
+    request may share a longer batch's t_pad freely)."""
+    model, params, vocab = tiny
+    for _ in range(5):
+        visual = rng.normal(size=(3, V_DIM)).astype(np.float32)
+        audio = rng.normal(size=(3, A_DIM)).astype(np.float32)
+        caps = {
+            _expected(model, params, vocab, visual, audio,
+                      ServiceConfig(frame_buckets=(t_pad,), max_caption_len=6,
+                                    audio_dim=A_DIM, visual_dim=V_DIM))
+            for t_pad in (4, 8, 16)
+        }
+        assert len(caps) == 1
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_http_server_roundtrip(tiny, rng):
+    model, params, vocab = tiny
+    cfg = ServiceConfig(max_batch=3, max_wait_ms=50.0, frame_buckets=BUCKETS,
+                        max_caption_len=5, audio_dim=A_DIM, visual_dim=V_DIM)
+    reqs = _requests(rng, 3, t_lo=5, t_hi=8)  # single bucket; see above
+    with CaptionService(model, params, vocab, cfg) as svc:
+        server = make_http_server(svc, port=0)  # ephemeral port
+        host, port = server.server_address[:2]
+        base = f"http://{host}:{port}"
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+                assert json.loads(resp.read()) == {"ok": True}
+
+            visual, audio = reqs[0]
+            status, body = _post(base + "/caption",
+                                 {"visual": visual.tolist(), "audio": audio.tolist()})
+            assert status == 200
+            assert body["caption"] == _expected(model, params, vocab, visual, audio, cfg)
+            assert body["latency_ms"] > 0
+
+            status, body = _post(base + "/caption_batch", {"items": [
+                {"visual": v.tolist(), "audio": a.tolist()} for v, a in reqs
+            ]})
+            assert status == 200
+            assert body["captions"] == [
+                _expected(model, params, vocab, v, a, cfg) for v, a in reqs
+            ]
+
+            with urllib.request.urlopen(base + "/stats", timeout=60) as resp:
+                stats = json.loads(resp.read())
+            assert stats["requests"] == 4
+
+            # malformed request -> 400, server keeps serving
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(base + "/caption", {"audio": [[0.0]]})
+            assert ei.value.code == 400
+            with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+                assert resp.status == 200
+        finally:
+            server.shutdown()
+            server.server_close()
