@@ -59,6 +59,11 @@ class ServiceConfig:
     # identical (PARITY.md); beam has no such switch.
     stop_at_all_eos: bool = True
     latency_window: int = 2048  # latencies kept for the percentile stats
+    # in-flight device batches: JAX dispatch is async, so the worker can
+    # collect+launch batch k+1 while batch k still computes / transfers —
+    # the completion thread owns the sync.  1 = fully serial (launch, sync,
+    # repeat); 2 overlaps host batching + D2H with device compute.
+    pipeline_depth: int = 2
 
 
 class _Request:
@@ -94,10 +99,19 @@ class CaptionService:
         self._n_rows = 0  # real (non-padding) rows launched
         self._t_start = time.perf_counter()
         self._closed = False
+        # bounded in-flight queue = backpressure: the batching worker blocks
+        # once pipeline_depth device batches are unsynced
+        self._completions: "queue.Queue" = queue.Queue(
+            maxsize=max(1, self.config.pipeline_depth)
+        )
         self._worker = threading.Thread(
             target=self._run, name="caption-service-worker", daemon=True
         )
+        self._completer = threading.Thread(
+            target=self._complete_loop, name="caption-service-completer", daemon=True
+        )
         self._worker.start()
+        self._completer.start()
 
     # ------------------------------------------------------------- client API
 
@@ -189,6 +203,8 @@ class CaptionService:
         self._closed = True
         self._queue.put(_SHUTDOWN)
         self._worker.join()
+        self._completions.put(_SHUTDOWN)
+        self._completer.join()
 
     def __enter__(self) -> "CaptionService":
         return self
@@ -246,10 +262,8 @@ class CaptionService:
         return batch
 
     def _launch(self, batch: List[_Request]) -> None:
-        from mvc_tpu.models.captioning import captions_from_tokens
-
+        """Pad, dispatch (async), and enqueue for completion."""
         cfg = self.config
-        n = len(batch)
         t_pad = _bucket(max(r.visual.shape[0] for r in batch), cfg.frame_buckets)
         audio = np.zeros((cfg.max_batch, t_pad, cfg.audio_dim), dtype=np.float32)
         visual = np.zeros((cfg.max_batch, t_pad, cfg.visual_dim), dtype=np.float32)
@@ -260,11 +274,19 @@ class CaptionService:
             visual[i, :t] = r.visual
             feat_mask[i, :t] = True
 
+        # JAX dispatch is async: this returns device arrays immediately and
+        # the completion thread pays for the sync — batch k+1 is collected
+        # and launched while batch k computes (bounded by pipeline_depth).
+        tokens_dev = self._predict_fn(t_pad)(self.params, audio, visual, feat_mask)
+        self._completions.put((tokens_dev, batch))
+
+    def _complete(self, tokens_dev, batch: List[_Request]) -> None:
+        from mvc_tpu.models.captioning import captions_from_tokens
+
+        n = len(batch)
         # np.asarray is the materialization point (block_until_ready is a
         # no-op through the axon tunnel — CLAUDE.md).
-        tokens = np.asarray(
-            self._predict_fn(t_pad)(self.params, audio, visual, feat_mask)
-        )
+        tokens = np.asarray(tokens_dev)
         captions = captions_from_tokens(self.vocab, tokens[:n])
         now = time.perf_counter()
         with self._lock:
@@ -276,6 +298,12 @@ class CaptionService:
         for r, cap in zip(batch, captions):
             r.future.set_result(cap)
 
+    @staticmethod
+    def _fail(batch: List[_Request], e: BaseException) -> None:
+        for r in batch:
+            if not r.future.done():
+                r.future.set_exception(e)
+
     def _run(self) -> None:
         while True:
             batch = self._collect()
@@ -284,6 +312,15 @@ class CaptionService:
             try:
                 self._launch(batch)
             except BaseException as e:  # resolve futures; keep serving
-                for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                self._fail(batch, e)
+
+    def _complete_loop(self) -> None:
+        while True:
+            item = self._completions.get()
+            if item is _SHUTDOWN:
+                return
+            tokens_dev, batch = item
+            try:
+                self._complete(tokens_dev, batch)
+            except BaseException as e:
+                self._fail(batch, e)

@@ -148,6 +148,22 @@ def test_video_only_requests_zero_fill_audio(tiny, rng):
     assert cap == _expected(model, params, vocab, visual, zeros, cfg)
 
 
+@pytest.mark.parametrize("depth", [1, 3])
+def test_pipeline_depth_does_not_change_results(tiny, rng, depth):
+    """Launch/sync overlap is an ordering detail: any pipeline_depth yields
+    the same captions as the solo oracle."""
+    model, params, vocab = tiny
+    cfg = ServiceConfig(max_batch=2, max_wait_ms=1.0, frame_buckets=BUCKETS,
+                        max_caption_len=5, audio_dim=A_DIM, visual_dim=V_DIM,
+                        pipeline_depth=depth)
+    reqs = _requests(rng, 5, t_lo=5, t_hi=8)
+    with CaptionService(model, params, vocab, cfg) as svc:
+        futures = [svc.submit(v, a) for v, a in reqs]
+        got = [f.result(timeout=300) for f in futures]
+    for (visual, audio), cap in zip(reqs, got):
+        assert cap == _expected(model, params, vocab, visual, audio, cfg)
+
+
 def test_caption_is_invariant_to_frame_padding(tiny, rng):
     """The property the service's bucketing leans on: with feat_mask set,
     the caption doesn't depend on which bucket the clip was padded to (so a
