@@ -64,6 +64,16 @@ class ServiceConfig:
     # the completion thread owns the sync.  1 = fully serial (launch, sync,
     # repeat); 2 overlaps host batching + D2H with device compute.
     pipeline_depth: int = 2
+    # feature H2D wire format — the serving bottleneck whenever transfer is
+    # slower than decode (measured tunnel-bound in BENCH_NOTES round 4):
+    #   "f32"  — full precision (default)
+    #   "bf16" — half the bytes; BITWISE-identical captions for a bf16-dtype
+    #            model (decode casts inputs to the model dtype on entry,
+    #            models/captioning.py:185,256 — the cast just moves host-side)
+    #   "int8" — quarter the bytes via the trainer's shared per-frame max-abs
+    #            quantization (data/feature_cache.quantize_int8, <=1/127
+    #            relative error; dequantized on device inside the jit)
+    transfer: str = "f32"
 
 
 class _Request:
@@ -89,6 +99,8 @@ class CaptionService:
         self.config = config or ServiceConfig()
         if self.config.mode not in ("direct", "beam"):
             raise ValueError(f"unknown mode {self.config.mode!r}")
+        if self.config.transfer not in ("f32", "bf16", "int8"):
+            raise ValueError(f"unknown transfer {self.config.transfer!r}")
 
         self._queue: "queue.Queue" = queue.Queue()
         self._predict_by_tpad: Dict[int, object] = {}
@@ -195,6 +207,7 @@ class CaptionService:
             "queue_depth": self._queue.qsize(),
             "mode": self.config.mode,
             "max_batch": self.config.max_batch,
+            "transfer": self.config.transfer,
         }
 
     def close(self) -> None:
@@ -218,6 +231,7 @@ class CaptionService:
         fn = self._predict_by_tpad.get(t_pad)
         if fn is None:
             import jax
+            import jax.numpy as jnp
 
             cfg = self.config
             extra = (
@@ -225,8 +239,9 @@ class CaptionService:
                 if cfg.mode == "direct" and cfg.stop_at_all_eos
                 else {}
             )
-            fn = jax.jit(
-                lambda p, a, v, m: self.model.predict_tokens(
+
+            def predict(p, a, v, m):
+                return self.model.predict_tokens(
                     p, a, v,
                     max_caption_len=cfg.max_caption_len,
                     mode=cfg.mode,
@@ -235,7 +250,19 @@ class CaptionService:
                     feat_mask=m,
                     **extra,
                 )
-            )
+
+            if cfg.transfer == "int8":
+                # dequantize on device, then the ordinary predict
+                fn = jax.jit(
+                    lambda p, qa, sa, qv, sv, m: predict(
+                        p,
+                        qa.astype(jnp.float32) * sa,
+                        qv.astype(jnp.float32) * sv,
+                        m,
+                    )
+                )
+            else:  # f32 / bf16 arrive ready to use
+                fn = jax.jit(predict)
             self._predict_by_tpad[t_pad] = fn
         return fn
 
@@ -277,7 +304,19 @@ class CaptionService:
         # JAX dispatch is async: this returns device arrays immediately and
         # the completion thread pays for the sync — batch k+1 is collected
         # and launched while batch k computes (bounded by pipeline_depth).
-        tokens_dev = self._predict_fn(t_pad)(self.params, audio, visual, feat_mask)
+        if cfg.transfer == "int8":
+            from mvc_tpu.data.feature_cache import quantize_int8
+
+            qa, sa = quantize_int8(audio)
+            qv, sv = quantize_int8(visual)
+            tokens_dev = self._predict_fn(t_pad)(self.params, qa, sa, qv, sv, feat_mask)
+        else:
+            if cfg.transfer == "bf16":
+                import jax.numpy as jnp
+
+                audio = audio.astype(jnp.bfloat16)
+                visual = visual.astype(jnp.bfloat16)
+            tokens_dev = self._predict_fn(t_pad)(self.params, audio, visual, feat_mask)
         self._completions.put((tokens_dev, batch))
 
     def _complete(self, tokens_dev, batch: List[_Request]) -> None:

@@ -138,9 +138,15 @@ def main():
     ap.add_argument("--max_batch", type=int, default=64)
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
     ap.add_argument("--concurrency", type=int, nargs="+", default=[1, 16, 64, 256])
-    ap.add_argument("--qps-fracs", type=float, nargs="+", default=[0.25, 0.5, 0.9])
+    ap.add_argument("--qps-fracs", type=float, nargs="*", default=[0.25, 0.5, 0.9])
     ap.add_argument("--n", type=int, default=2000, help="requests per closed-loop point")
     ap.add_argument("--n-open", type=int, default=1000)
+    ap.add_argument("--transfer", default="f32", choices=["f32", "bf16", "int8"],
+                    help="feature H2D wire format (ServiceConfig.transfer)")
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="in-flight device batches (ServiceConfig.pipeline_depth)")
+    ap.add_argument("--skip-ablation", action="store_true",
+                    help="skip the pipeline_depth=1 re-measurement")
     ap.add_argument("--pallas", action="store_true")
     args = ap.parse_args()
 
@@ -163,18 +169,21 @@ def main():
     rng = np.random.default_rng(0)
     reqs = [(rng.normal(size=(T, V_DIM)).astype(np.float32),
              rng.normal(size=(T, A_DIM)).astype(np.float32)) for _ in range(64)]
-    h2d_mb = args.max_batch * T * (V_DIM + A_DIM) * 4 / 1e6
+    bytes_per_el = {"f32": 4, "bf16": 2, "int8": 1}[args.transfer]
+    h2d_mb = args.max_batch * T * (V_DIM + A_DIM) * bytes_per_el / 1e6
+    if args.transfer == "int8":  # plus the per-frame f32 scales
+        h2d_mb += args.max_batch * T * 2 * 4 / 1e6
 
     def make(depth):
         return CaptionService(model, params, vocab, ServiceConfig(
             max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
             frame_buckets=(T,), max_caption_len=MAX_LEN, mode=args.mode,
             beam_width=WIDTH, audio_dim=A_DIM, visual_dim=V_DIM,
-            pipeline_depth=depth,
+            pipeline_depth=depth, transfer=args.transfer,
         ))
 
     results = []
-    with make(depth=2) as svc:
+    with make(depth=args.pipeline_depth) as svc:
         log("warmup (one compile)...")
         svc.warmup([T])
         best = 0.0
@@ -188,7 +197,8 @@ def main():
                 "p99_ms": round(pct(lat, 0.99), 2),
                 "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 2),
                 "batches": stats["batches"], "h2d_mb_per_batch": round(h2d_mb, 2),
-                "max_batch": args.max_batch, "pipeline_depth": 2,
+                "max_batch": args.max_batch, "pipeline_depth": args.pipeline_depth,
+                "transfer": args.transfer,
             }
             results.append(entry)
             print(json.dumps(entry), flush=True)
@@ -202,12 +212,16 @@ def main():
                 "frac_of_max": frac,
                 "p50_ms": round(pct(lat, 0.5), 2), "p95_ms": round(pct(lat, 0.95), 2),
                 "p99_ms": round(pct(lat, 0.99), 2),
-                "max_batch": args.max_batch, "pipeline_depth": 2,
+                "max_batch": args.max_batch, "pipeline_depth": args.pipeline_depth,
+                "transfer": args.transfer,
             }
             results.append(entry)
             print(json.dumps(entry), flush=True)
 
     # pipeline ablation at the top concurrency
+    if args.skip_ablation:
+        log("done:", len(results), "measurement points")
+        return
     with make(depth=1) as svc:
         svc.warmup([T])
         c = max(args.concurrency)
@@ -220,6 +234,7 @@ def main():
             "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 2),
             "batches": stats["batches"], "h2d_mb_per_batch": round(h2d_mb, 2),
             "max_batch": args.max_batch, "pipeline_depth": 1,
+            "transfer": args.transfer,
         }
         results.append(entry)
         print(json.dumps(entry), flush=True)

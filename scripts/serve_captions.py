@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--max_caption_len", default=30, type=int)
     ap.add_argument("--max_batch", default=64, type=int)
     ap.add_argument("--max_wait_ms", default=5.0, type=float)
+    ap.add_argument("--transfer", default="f32", choices=["f32", "bf16", "int8"],
+                    help="feature H2D wire format (see ServiceConfig.transfer)")
+    ap.add_argument("--pipeline_depth", default=2, type=int)
     ap.add_argument("--frame_buckets", nargs="+", type=int, default=[8, 16, 32, 48, 64])
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", default=8000, type=int)
@@ -81,6 +84,8 @@ def main():
         mode=args.mode,
         beam_width=args.beam_width,
         beam_alpha=args.beam_alpha,
+        transfer=args.transfer,
+        pipeline_depth=args.pipeline_depth,
     ))
     if not args.no_warmup:
         print("Warming up (one compile per frame bucket)...", flush=True)

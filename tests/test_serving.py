@@ -148,6 +148,55 @@ def test_video_only_requests_zero_fill_audio(tiny, rng):
     assert cap == _expected(model, params, vocab, visual, zeros, cfg)
 
 
+def test_bf16_transfer_is_bitwise_for_bf16_models(rng):
+    """decode casts inputs to the model dtype on entry, so host-side bf16
+    casting just moves the cast across the wire — captions identical."""
+    import jax.numpy as jnp
+
+    vocab = Vocabulary(freq_threshold=1)
+    vocab.build_vocabulary(["a man plays a guitar", "a dog runs on grass"])
+    model = AVCaptioningDual(vocab_size=len(vocab), reconstructor_type="none",
+                             visual_decoder_config=TINY_V,
+                             audio_decoder_config=TINY_A, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    reqs = _requests(rng, 4, t_lo=5, t_hi=8)
+    caps = {}
+    for transfer in ("f32", "bf16"):
+        cfg = ServiceConfig(max_batch=2, max_wait_ms=1.0, frame_buckets=BUCKETS,
+                            max_caption_len=6, audio_dim=A_DIM, visual_dim=V_DIM,
+                            transfer=transfer)
+        with CaptionService(model, params, vocab, cfg) as svc:
+            futures = [svc.submit(v, a) for v, a in reqs]
+            caps[transfer] = [f.result(timeout=300) for f in futures]
+    assert caps["f32"] == caps["bf16"]
+
+
+def test_int8_transfer_matches_dequantized_oracle(tiny, rng):
+    """int8 wire format == the trainer's quantize_int8: captions equal a
+    direct predict on the host-dequantized features."""
+    from mvc_tpu.data.feature_cache import quantize_int8
+
+    model, params, vocab = tiny
+    cfg = ServiceConfig(max_batch=2, max_wait_ms=1.0, frame_buckets=BUCKETS,
+                        max_caption_len=6, audio_dim=A_DIM, visual_dim=V_DIM,
+                        transfer="int8")
+    reqs = _requests(rng, 3, t_lo=5, t_hi=8)
+    with CaptionService(model, params, vocab, cfg) as svc:
+        got = [svc.submit(v, a).result(timeout=300) for v, a in reqs]
+    for (visual, audio), cap in zip(reqs, got):
+        t, t_pad = visual.shape[0], 8
+        a = np.zeros((1, t_pad, A_DIM), np.float32)
+        v = np.zeros((1, t_pad, V_DIM), np.float32)
+        m = np.zeros((1, t_pad), bool)
+        a[0, :t], v[0, :t], m[0, :t] = audio, visual, True
+        qa, sa = quantize_int8(a)
+        qv, sv = quantize_int8(v)
+        tokens = model.predict_tokens(
+            params, qa.astype(np.float32) * sa, qv.astype(np.float32) * sv,
+            max_caption_len=6, mode="direct", feat_mask=m)
+        assert cap == captions_from_tokens(vocab, np.asarray(tokens))[0]
+
+
 @pytest.mark.parametrize("depth", [1, 3])
 def test_pipeline_depth_does_not_change_results(tiny, rng, depth):
     """Launch/sync overlap is an ordering detail: any pipeline_depth yields
