@@ -233,10 +233,18 @@ class CaptionService:
             import jax
             import jax.numpy as jnp
 
+            import inspect
+
             cfg = self.config
+            # capability-detect like the trainer (trainer.py): the
+            # transformer family has no all-EOS early-exit switch
+            supports_stop = (
+                "stop_at_all_eos"
+                in inspect.signature(self.model.predict_tokens).parameters
+            )
             extra = (
                 {"stop_at_all_eos": True}
-                if cfg.mode == "direct" and cfg.stop_at_all_eos
+                if cfg.mode == "direct" and cfg.stop_at_all_eos and supports_stop
                 else {}
             )
 

@@ -213,6 +213,26 @@ def test_pipeline_depth_does_not_change_results(tiny, rng, depth):
         assert cap == _expected(model, params, vocab, visual, audio, cfg)
 
 
+def test_transformer_family_is_servable(rng):
+    """CaptionService capability-detects stop_at_all_eos (the transformer
+    has no such switch) — any model with the predict_tokens contract serves."""
+    from mvc_tpu.models.transformer import TransformerCaptioning, TransformerConfig
+
+    vocab = Vocabulary(freq_threshold=1)
+    vocab.build_vocabulary(["a man plays a guitar", "a dog runs on grass"])
+    cfg_t = TransformerConfig(d_model=16, num_heads=2, num_layers=1, d_ff=32,
+                              max_len=32, visual_dim=V_DIM, audio_dim=A_DIM)
+    model = TransformerCaptioning(vocab_size=len(vocab), config=cfg_t)
+    params = model.init(jax.random.PRNGKey(0))
+    cfg = ServiceConfig(max_batch=2, max_wait_ms=1.0, frame_buckets=BUCKETS,
+                        max_caption_len=6, audio_dim=A_DIM, visual_dim=V_DIM)
+    reqs = _requests(rng, 3, t_lo=5, t_hi=8)
+    with CaptionService(model, params, vocab, cfg) as svc:
+        got = [svc.submit(v, a).result(timeout=300) for v, a in reqs]
+    for (visual, audio), cap in zip(reqs, got):
+        assert cap == _expected(model, params, vocab, visual, audio, cfg)
+
+
 def test_caption_is_invariant_to_frame_padding(tiny, rng):
     """The property the service's bucketing leans on: with feat_mask set,
     the caption doesn't depend on which bucket the clip was padded to (so a
