@@ -90,9 +90,17 @@ _SHUTDOWN = object()
 
 
 class CaptionService:
-    """Thread-safe online captioner over a jitted model predict path."""
+    """Thread-safe online captioner over a jitted model predict path.
 
-    def __init__(self, model, params, vocab, config: Optional[ServiceConfig] = None):
+    ``mesh`` scales one replica across chips: params are placed with the
+    training-side shardings (``parallel.mesh.param_shardings``) and every
+    batch is dp-sharded (``batch_sharding``), so GSPMD splits the decode
+    across the mesh exactly like the training/eval paths — ``max_batch``
+    must divide the dp axis.  Without a mesh the replica owns one chip.
+    """
+
+    def __init__(self, model, params, vocab, config: Optional[ServiceConfig] = None,
+                 mesh=None):
         self.model = model
         self.params = params
         self.vocab = vocab
@@ -101,6 +109,21 @@ class CaptionService:
             raise ValueError(f"unknown mode {self.config.mode!r}")
         if self.config.transfer not in ("f32", "bf16", "int8"):
             raise ValueError(f"unknown transfer {self.config.transfer!r}")
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            import jax
+
+            from mvc_tpu.parallel.mesh import batch_sharding, param_shardings
+
+            dp = mesh.shape.get("dp", 1)
+            if self.config.max_batch % dp:
+                raise ValueError(
+                    f"max_batch={self.config.max_batch} must divide the "
+                    f"mesh dp axis ({dp})"
+                )
+            self._batch_sharding = batch_sharding(mesh)
+            self.params = jax.device_put(params, param_shardings(mesh, params))
 
         self._queue: "queue.Queue" = queue.Queue()
         self._predict_by_tpad: Dict[int, object] = {}
@@ -317,14 +340,20 @@ class CaptionService:
 
             qa, sa = quantize_int8(audio)
             qv, sv = quantize_int8(visual)
-            tokens_dev = self._predict_fn(t_pad)(self.params, qa, sa, qv, sv, feat_mask)
+            args = (qa, sa, qv, sv, feat_mask)
         else:
             if cfg.transfer == "bf16":
                 import jax.numpy as jnp
 
                 audio = audio.astype(jnp.bfloat16)
                 visual = visual.astype(jnp.bfloat16)
-            tokens_dev = self._predict_fn(t_pad)(self.params, audio, visual, feat_mask)
+            args = (audio, visual, feat_mask)
+        if self._batch_sharding is not None:
+            import jax
+
+            # dp-shard every batch-leading array; GSPMD propagates from here
+            args = tuple(jax.device_put(a, self._batch_sharding) for a in args)
+        tokens_dev = self._predict_fn(t_pad)(self.params, *args)
         self._completions.put((tokens_dev, batch))
 
     def _complete(self, tokens_dev, batch: List[_Request]) -> None:

@@ -213,6 +213,28 @@ def test_pipeline_depth_does_not_change_results(tiny, rng, depth):
         assert cap == _expected(model, params, vocab, visual, audio, cfg)
 
 
+def test_mesh_sharded_service_matches_single_device(tiny, rng):
+    """One serving replica across a dp mesh: params placed with the training
+    shardings, every batch dp-sharded — captions identical to unsharded."""
+    from mvc_tpu.parallel.mesh import make_mesh
+
+    model, params, vocab = tiny
+    mesh = make_mesh(dp=4)
+    cfg = ServiceConfig(max_batch=4, max_wait_ms=1.0, frame_buckets=BUCKETS,
+                        max_caption_len=6, audio_dim=A_DIM, visual_dim=V_DIM)
+    reqs = _requests(rng, 5, t_lo=5, t_hi=8)
+    with CaptionService(model, params, vocab, cfg, mesh=mesh) as svc:
+        got = [svc.submit(v, a).result(timeout=300) for v, a in reqs]
+    for (visual, audio), cap in zip(reqs, got):
+        assert cap == _expected(model, params, vocab, visual, audio, cfg)
+
+    # max_batch must divide dp
+    with pytest.raises(ValueError):
+        CaptionService(model, params, vocab,
+                       ServiceConfig(max_batch=3, audio_dim=A_DIM,
+                                     visual_dim=V_DIM), mesh=mesh)
+
+
 def test_transformer_family_is_servable(rng):
     """CaptionService capability-detects stop_at_all_eos (the transformer
     has no such switch) — any model with the predict_tokens contract serves."""
