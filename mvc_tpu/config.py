@@ -155,7 +155,8 @@ class MeshConfig:
 
     dp: int = -1        # data-parallel axis size; -1 = all remaining devices
     tp: int = 1         # tensor-parallel axis (vocab/hidden sharding)
-    axis_names: Tuple[str, str] = ("dp", "tp")
+    sp: int = 1         # sequence-parallel axis (frame axis T sharding)
+    axis_names: Tuple[str, ...] = ("dp", "tp")
 
 
 @dataclass

@@ -9,10 +9,20 @@ expressed as a 2-D ``jax.sharding.Mesh``:
 - ``tp`` — tensor parallel: the vocab axis of each decoder's embedding table,
   output projection, and hence the logits is sharded; XLA inserts the
   all-gather / reduce-scatter around the log-softmax
+- ``sp`` — sequence parallel (optional 3rd axis): the frame/time axis T of
+  the feature tensors and the frame mask is sharded; the attention softmax's
+  max/sum over T and the context weighted-sum become XLA collectives over
+  ICI.  Useful when clips are long (T ≫ caption length) — attention keys,
+  energies, and the reconstruction targets then live T/sp-sharded for the
+  whole step.
 
 Everything routes through ``jax.jit`` with NamedShardings (GSPMD), so the
 same train step runs single-chip, multi-chip ICI, or multi-slice DCN
-unchanged.
+unchanged.  Axes the model family has no use for are intentionally absent:
+pipeline parallelism has no stage structure to cut (the captioner is two
+1-layer RNN decoders — see docs/ARCHITECTURE.md §parallelism for the
+transformer family's story) and expert parallelism has no experts (no MoE
+anywhere in the reference, SURVEY.md §2).
 """
 
 from __future__ import annotations
@@ -26,20 +36,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mvc_tpu.config import MeshConfig
 
 
-def make_mesh(dp: int = -1, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ("dp", "tp") mesh.  ``dp=-1`` consumes all remaining devices."""
+def make_mesh(dp: int = -1, tp: int = 1, sp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ("dp", "tp") mesh — or ("dp", "tp", "sp") when ``sp > 1``.
+    ``dp=-1`` consumes all remaining devices.  ``sp`` stays innermost so its
+    softmax/context collectives ride the fastest ICI hops."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-        dp = n // tp
-    assert dp * tp <= n, f"mesh {dp}x{tp} needs more than {n} devices"
+        assert n % (tp * sp) == 0, f"{n} devices not divisible by tp*sp={tp * sp}"
+        dp = n // (tp * sp)
+    assert dp * tp * sp <= n, f"mesh {dp}x{tp}x{sp} needs more than {n} devices"
+    if sp > 1:
+        grid = np.asarray(devices[: dp * tp * sp]).reshape(dp, tp, sp)
+        return Mesh(grid, ("dp", "tp", "sp"))
     grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(grid, ("dp", "tp"))
 
 
 def mesh_from_config(cfg: MeshConfig, devices=None) -> Mesh:
-    return make_mesh(dp=cfg.dp, tp=cfg.tp, devices=devices)
+    return make_mesh(dp=cfg.dp, tp=cfg.tp, sp=getattr(cfg, "sp", 1), devices=devices)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -82,15 +98,22 @@ def param_shardings(mesh: Mesh, params) -> object:
     return walk(params, "")
 
 
+_SP_TIME_AXIS = {"audio": 1, "visual": 1, "feat_mask": 1}  # [B, T, ...] keys
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Device-put a host batch with the batch axis over dp.  Time-first
-    caption arrays ([L, B]) shard their second axis.
+    caption arrays ([L, B]) shard their second axis.  On an sp mesh, the
+    frame axis T of the feature tensors and the frame mask additionally
+    shards over sp (when T divides it); captions never shard on L — that is
+    the decode scan axis.
 
     Multi-process (jax.distributed): each process passes its LOCAL shard of
     the batch (rows for its own devices, e.g. from
     ``DataLoader(process_index, process_count)``) and the global array is
     assembled across processes."""
     multiprocess = jax.process_count() > 1
+    sp = mesh.shape.get("sp", 1)
     out = {}
     for k, v in batch.items():
         if not hasattr(v, "ndim"):
@@ -98,6 +121,10 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
             continue
         if k == "captions":            # [L, B] time-first
             spec = P(None, "dp")
+        elif (sp > 1 and k in _SP_TIME_AXIS
+              and v.ndim > _SP_TIME_AXIS[k]
+              and v.shape[_SP_TIME_AXIS[k]] % sp == 0):
+            spec = P("dp", "sp")       # [B, T, ...]: batch over dp, frames over sp
         else:                          # [B, ...]
             spec = P("dp")
         sharding = NamedSharding(mesh, spec)

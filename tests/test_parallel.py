@@ -21,6 +21,10 @@ def test_make_mesh_shapes():
     assert m2.shape == {"dp": 4, "tp": 2}
     m3 = make_mesh()
     assert m3.shape == {"dp": 8, "tp": 1}
+    m4 = make_mesh(dp=2, tp=2, sp=2)
+    assert m4.shape == {"dp": 2, "tp": 2, "sp": 2}
+    m5 = make_mesh(dp=-1, sp=4)
+    assert m5.shape == {"dp": 2, "tp": 1, "sp": 4}
 
 
 def test_param_shardings_rules():
@@ -121,6 +125,61 @@ def test_dryrun_multichip_self_provisions():
     )
     assert out.returncode == 0, out.stderr
     assert "dryrun_multichip(8) OK" in out.stdout
+
+
+def test_sp_sharded_train_step_matches_single_device(rng):
+    """Sequence parallelism: with features/frame-mask sharded [dp, sp] on a
+    (dp=2, tp=2, sp=2) mesh, the attention softmax over T and the context
+    weighted-sum become XLA collectives — the full train step (loss, metrics,
+    parameter update) must match the unsharded single-device step."""
+    from mvc_tpu.config import TrainerConfig
+    from mvc_tpu.parallel.smoke import make_smoke_loss, make_smoke_model
+    from mvc_tpu.training import optimizer as opt_lib
+    from mvc_tpu.training.trainer import Trainer
+
+    B, T, L, VOC, AD, VD = 4, 6, 7, 24, 5, 9
+    model = make_smoke_model(VOC, AD, VD)
+    params = model.init(jax.random.PRNGKey(0))
+    cfg = TrainerConfig(batch_size=B)
+    tr = Trainer("sp_equiv", log_dir=None)
+    tr._optimizer = opt_lib.make_optimizer(cfg)
+    train_step, _ = tr._build_train_step(model, cfg)
+    opt_state = tr._optimizer.init(params)
+
+    caps = rng.integers(3, VOC, size=(L, B)).astype(np.int32)
+    caps[0] = 1
+    feat_mask = np.ones((B, T), bool)
+    feat_mask[1, 4:] = False           # ragged clip: masked frames cross shards
+    batch = {
+        "audio": rng.normal(size=(B, T, AD)).astype(np.float32),
+        "visual": rng.normal(size=(B, T, VD)).astype(np.float32),
+        "captions": caps,
+        "feat_mask": feat_mask,
+        "sample_mask": np.ones((B,), bool),
+    }
+    rng_key = jax.random.PRNGKey(3)
+
+    ref_params, _, ref_metrics = train_step(
+        params, opt_state, {k: jnp.asarray(v) for k, v in batch.items()}, rng_key)
+
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    sharded = shard_batch(mesh, batch)
+    assert sharded["audio"].sharding.spec == P("dp", "sp")
+    assert sharded["feat_mask"].sharding.spec == P("dp", "sp")
+    assert sharded["captions"].sharding.spec == P(None, "dp")
+    params = model.init(jax.random.PRNGKey(0))   # first call donated its args
+    p_sh = jax.device_put(params, param_shardings(mesh, params))
+    opt_sh = tr._optimizer.init(p_sh)
+    got_params, _, got_metrics = train_step(p_sh, opt_sh, sharded, rng_key)
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            np.asarray(got_metrics[k]), np.asarray(ref_metrics[k]),
+            rtol=2e-5, atol=1e-6, err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        got_params, ref_params)
 
 
 def test_distributed_helpers_single_process():

@@ -63,6 +63,8 @@ def main():
     # TPU extensions
     parser.add_argument("--dp", default=-1, type=int, help="data-parallel mesh axis (-1: all devices)")
     parser.add_argument("--tp", default=1, type=int, help="tensor-parallel mesh axis")
+    parser.add_argument("--sp", default=1, type=int,
+                        help="sequence-parallel mesh axis (shards the frame axis T)")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--device_feature_cache", action="store_true",
@@ -108,7 +110,7 @@ def main():
     print(f"Vocab size: {len(vocab)}")
 
     checkpoints_dir = os.path.join("checkpoints", args.dataset)
-    mesh = make_mesh(dp=args.dp, tp=args.tp)
+    mesh = make_mesh(dp=args.dp, tp=args.tp, sp=args.sp)
     print(f"Mesh: {mesh}")
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
