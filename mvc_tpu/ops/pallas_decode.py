@@ -49,6 +49,43 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _embed_prev(prev, emb_ref, wdtype, B):
+    """Embedding of the previous token: one-hot matmul on the MXU."""
+    Vp = emb_ref.shape[0]
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+    onehot = (iota_v == prev).astype(wdtype)                   # [B, Vp]
+    return jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
+
+
+def _attn_wsum(h, feats_ref, keys2_ref, wrow_ref, mask_ref,
+               attn_w_ref, attn_b_ref, A, wdtype):
+    """Additive attention over frames; returns the weighted sum over the
+    per-clip slab — the context vector (direct) or the context rows' gate
+    preactivation (factored, slab = P).  All T frames' energies in ONE
+    tanh on the [B, T, A] view, contracted against the energy vector w as
+    a lane reduction (an [*, A] x [A, 1] matmul is the worst possible MXU
+    shape — N=1)."""
+    T, B, F = feats_ref.shape
+    q = jnp.dot(h.astype(wdtype), attn_w_ref[:],
+                preferred_element_type=jnp.float32)            # [B, A]
+    q_b = q + attn_b_ref[:]
+    e_all = jnp.tanh(keys2_ref[:].astype(jnp.float32).reshape(B, T, A)
+                     + q_b[:, None, :])
+    energies = jnp.sum(e_all * wrow_ref[:].reshape(1, 1, A), axis=2)
+    mask = mask_ref[:]
+    neg = jnp.float32(-1e30)
+    energies = jnp.where(mask > 0, energies, neg)
+    m = jnp.max(energies, axis=1, keepdims=True)
+    m = jnp.where(m > neg / 2, m, 0.0)
+    unnorm = jnp.where(mask > 0, jnp.exp(energies - m), 0.0)
+    denom = jnp.maximum(jnp.sum(unnorm, axis=1, keepdims=True), 1e-30)
+    weights = unnorm / denom                                   # [B, T] f32
+    wsum = jnp.zeros((B, F), jnp.float32)
+    for tt in range(T):
+        wsum = wsum + weights[:, tt:tt + 1] * feats_ref[tt].astype(jnp.float32)
+    return wsum
+
+
 def _decode_kernel(
     # VMEM-resident inputs (feats/keys time-major: per-frame reads index the
     # leading, untiled axis)
@@ -105,37 +142,12 @@ def _decode_kernel(
     wi_dma(0, 0).start()  # warm up the stream
 
     for t in range(L):
-        # ---- 1. embedding of prev token: one-hot matmul on the MXU
-        iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
-        onehot = (iota_v == prev).astype(wdtype)               # [B, Vp]
-        embedded = jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
+        # ---- 1. embedding of prev token
+        embedded = _embed_prev(prev, emb_ref, wdtype, B)
 
-        # ---- 2. additive attention over frames.  All T frames' energies in
-        # ONE matmul: tanh(q (tiled over frame blocks) + keys) contracted
-        # against a block-diagonal copy of the energy vector w.
-        q = jnp.dot(h.astype(wdtype), attn_w_ref[:],
-                    preferred_element_type=jnp.float32)        # [B, A]
-        q_b = q + attn_b_ref[:]
-        # All T frames at once: tanh on the [B, T, A] view, then contract the
-        # energy vector w as a lane reduction (an [*, A] x [A, 1] matmul is
-        # the worst possible MXU shape — N=1).
-        e_all = jnp.tanh(keys2_ref[:].astype(jnp.float32).reshape(B, T, A)
-                         + q_b[:, None, :])
-        energies = jnp.sum(e_all * wrow_ref[:].reshape(1, 1, A), axis=2)
-        mask = mask_ref[:]
-        neg = jnp.float32(-1e30)
-        energies = jnp.where(mask > 0, energies, neg)
-        m = jnp.max(energies, axis=1, keepdims=True)
-        m = jnp.where(m > neg / 2, m, 0.0)
-        unnorm = jnp.where(mask > 0, jnp.exp(energies - m), 0.0)
-        denom = jnp.maximum(jnp.sum(unnorm, axis=1, keepdims=True), 1e-30)
-        weights = unnorm / denom                               # [B, T] f32
-
-        # Weighted sum over the per-clip slab: the context vector (direct)
-        # or the context rows' gate preactivation (factored, slab = P).
-        wsum = jnp.zeros((B, F), jnp.float32)
-        for tt in range(T):
-            wsum = wsum + weights[:, tt:tt + 1] * feats_ref[tt].astype(jnp.float32)
+        # ---- 2. additive attention over frames
+        wsum = _attn_wsum(h, feats_ref, keys2_ref, wrow_ref, mask_ref,
+                          attn_w_ref, attn_b_ref, A, wdtype)
 
         # ---- 3. step input x = [context | embedded | 0-pad] (direct) or
         # [embedded | 0-pad] (factored: context reaches the gates via ctxg)
@@ -208,11 +220,116 @@ def _decode_kernel(
         tokens_ref[:, t:t + 1] = best_idx                      # column t
 
 
+def _decode_kernel_resident(
+    feats_ref,      # [T, B, F] — or [T, B, G*H] (P = feats @ wi_ctx) factored
+    keys2_ref,      # [B, T*A]
+    wrow_ref,       # [1, A]
+    mask_ref,       # [B, T]
+    emb_ref,        # [Vp, E]
+    attn_w_ref,     # [H, A]
+    attn_b_ref,     # [1, A]
+    wh_ref,         # [H, G*H]
+    b_gates_ref,    # [1, G*H]
+    b_h_ref,        # [1, G*H]
+    b_out_ref,      # [1, Vp]
+    wi_ref,         # [Kp, G*H]  VMEM-RESIDENT (vs the streaming kernel's HBM tiles)
+    wout_ref,       # [H, Vp]    VMEM-RESIDENT
+    tokens_ref,     # [B, L] int32
+    *,
+    L: int,
+    sos_id: int,
+    cell: str,
+    factored: bool,
+    A: int,
+):
+    """Resident-weight variant of ``_decode_kernel``: at reference shapes the
+    ENTIRE weight set (wi, wout, embeddings, wh — ~8 MB bf16 at the headline
+    B=64/V=4000 shape) fits v5e VMEM with room to spare, so instead of
+    re-streaming wi/wout tiles from HBM every step (L x ~6 MB of DMA + 2 x
+    n_tiles semaphore waits per step on the critical path), weights are read
+    from HBM ONCE by the pallas_call prologue and every step is two
+    full-width matmuls.  Token-identical to the streaming kernel (same
+    reduction axis per output column; same lowest-index argmax tie-break)."""
+    T, B, F = feats_ref.shape
+    H = wh_ref.shape[0]
+    Vp = emb_ref.shape[0]
+    E = emb_ref.shape[1]
+    Kp, H4 = wi_ref.shape
+    n_gates = 4 if cell == "LSTM" else 3
+    wdtype = wi_ref.dtype
+    pad = Kp - E if factored else Kp - (F + E)
+
+    h = jnp.zeros((B, H), jnp.float32)
+    c = jnp.zeros((B, H), jnp.float32)
+    prev = jnp.full((B, 1), sos_id, jnp.int32)
+
+    for t in range(L):
+        embedded = _embed_prev(prev, emb_ref, wdtype, B)
+        wsum = _attn_wsum(h, feats_ref, keys2_ref, wrow_ref, mask_ref,
+                          attn_w_ref, attn_b_ref, A, wdtype)
+
+        ctxg = wsum if factored else None
+        parts = ([] if factored else [wsum.astype(wdtype)]) + [embedded.astype(wdtype)]
+        if pad:
+            parts.append(jnp.zeros((B, pad), wdtype))
+        x = jnp.concatenate(parts, axis=1)                     # [B, Kp]
+        h_prev = h.astype(wdtype)
+        h_f32 = h
+
+        # ---- gates: ONE full-width input matmul (+ the recurrent one), then
+        # the shared per-gate elementwise update on whole-gate slices
+        gv_full = (jnp.dot(x, wi_ref[:], preferred_element_type=jnp.float32)
+                   + b_gates_ref[:])
+        if factored:
+            gv_full = gv_full + ctxg
+        gh_full = jnp.dot(h_prev, wh_ref[:], preferred_element_type=jnp.float32)
+        if cell == "GRU":
+            gh_full = gh_full + b_h_ref[:]
+        i_parts, g_parts = [None], [None]
+        c_parts, h_parts = [c], [None]
+        for gate_id in range(n_gates):
+            col = gate_id * H
+            gv = gv_full[:, col:col + H]
+            gh = gh_full[:, col:col + H]
+            if cell == "LSTM":
+                gv = gv + gh                                   # fused preact
+            apply_gate_tile(cell, gate_id, 0, gv, gh, i_parts, g_parts,
+                            c_parts, h_parts, h_f32, H)
+        if cell == "LSTM":
+            c = c_parts[0]
+        h = h_parts[0]
+
+        # ---- vocab projection + argmax in one pass (padded cols carry -inf
+        # bias; torch/XLA argmax tie-breaks to the LOWEST index)
+        logits = (jnp.dot(h.astype(wdtype), wout_ref[:],
+                          preferred_element_type=jnp.float32)
+                  + b_out_ref[:])                              # [B, Vp]
+        m = jnp.max(logits, axis=1, keepdims=True)
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+        best_idx = jnp.min(
+            jnp.where(logits == m, iota_v, jnp.int32(2**30)),
+            axis=1, keepdims=True,
+        )
+        prev = best_idx
+        tokens_ref[:, t:t + 1] = best_idx                      # column t
+
+
+def _resident_fits(B, T, Fslab, A, E, H, H4, Vp, Kp, itemsize) -> bool:
+    """Auto rule for the resident-weight kernel: VMEM-resident operands +
+    dominant live f32 activations, with the same 25% margin fits_vmem uses,
+    against the v5e ~128 MiB capacity."""
+    total = (T * B * Fslab + B * T * A + Vp * E + H * H4
+             + Kp * H4 + H * Vp) * itemsize
+    total += 2 * B * Vp * 4        # one-hot + logits f32
+    total += 2 * B * H4 * 4        # gv_full / gh_full f32
+    return total * 4 // 3 < 128 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_caption_len", "sos_id", "tile_g", "tile_v", "weight_dtype",
-        "interpret", "rnn_type",
+        "interpret", "rnn_type", "resident",
     ),
 )
 def greedy_decode_pallas(
@@ -226,6 +343,7 @@ def greedy_decode_pallas(
     weight_dtype: str = "bfloat16",
     interpret: bool = False,
     rnn_type: str = "LSTM",
+    resident: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Whole-decode fused greedy predict -> tokens [B, L], matching
     ``greedy_tokens(decode(..., captions=None, max_caption_len=L)[0])``:
@@ -234,7 +352,10 @@ def greedy_decode_pallas(
 
     ``params`` is an init_decoder tree.  Weights stream as ``weight_dtype``
     tiles (bf16 for the perf path; f32 for exact-parity tests); activations
-    accumulate in f32.
+    accumulate in f32.  ``resident=None`` auto-selects the resident-weight
+    kernel (wi/wout VMEM-resident for all steps, no per-step weight DMA)
+    whenever everything fits the VMEM budget — token-identical to the
+    streaming kernel.
     """
     B, T, F = feats.shape
     wdtype = jnp.dtype(weight_dtype)
@@ -260,6 +381,9 @@ def greedy_decode_pallas(
     Vp = _round_up(V, tile_v)
     factored = _use_factored(B * T, F, H4)
     Kp = _round_up(E, 256) if factored else _round_up(K1, 256)
+    if resident is None:
+        resident = _resident_fits(B, T, H4 if factored else F, A, E, H, H4,
+                                  Vp, Kp, wdtype.itemsize)
 
     feats_h = feats.astype(wdtype)
     keys = (feats_h @ ap["U"].astype(wdtype)).astype(wdtype)
@@ -288,12 +412,7 @@ def greedy_decode_pallas(
     wi_x = (wi[:E] if factored
             else jnp.concatenate([wi[E:], wi[:E]], axis=0)).astype(wdtype)
     wi_p = jnp.zeros((Kp, H4), wdtype).at[:wi_x.shape[0]].set(wi_x)
-    n_g = H4 // tile_g
-    wi_tiles = wi_p.reshape(Kp, n_g, tile_g).transpose(1, 0, 2)  # [n_g, Kp, TG]
-
-    n_v = Vp // tile_v
     wout_p = jnp.zeros((H, Vp), wdtype).at[:, :V].set(wout.astype(wdtype))
-    wout_tiles = wout_p.reshape(H, n_v, tile_v).transpose(1, 0, 2)  # [n_v, H, TV]
     b_out_p = jnp.full((1, Vp), -1e30, jnp.float32).at[0, :V].set(b_out)
 
     if rnn_type == "LSTM":
@@ -303,49 +422,73 @@ def greedy_decode_pallas(
         b_gates = params["rnn"]["bi"].astype(jnp.float32).reshape(1, H4)
         b_h = params["rnn"]["bh"].astype(jnp.float32).reshape(1, H4)
 
-    kernel = functools.partial(_decode_kernel, L=L, sos_id=sos_id,
-                               cell=rnn_type, factored=factored, A=A)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec(memory_space=pl.ANY)
-
-    tokens = pl.pallas_call(
-        kernel,
-        in_specs=[
-            vspec,  # feats
-            vspec,  # keys2
-            vspec,  # w_row
-            vspec,  # mask
-            vspec,  # emb
-            vspec,  # attn W
-            vspec,  # attn b
-            vspec,  # wh
-            vspec,  # b_gates
-            vspec,  # b_h
-            vspec,  # b_out
-            hspec,  # wi tiles (HBM)
-            hspec,  # wout tiles (HBM)
-        ],
-        out_specs=vspec,
-        out_shape=jax.ShapeDtypeStruct((B, L), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((2, Kp, tile_g), wdtype),
-            pltpu.VMEM((2, H, tile_v), wdtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * L * B * (Kp * H4 + H * H4 + H * Vp + Vp * E + T * A),
-            bytes_accessed=L * (Kp * tile_g * n_g + H * Vp) * wdtype.itemsize,
-            transcendentals=L * B * (4 * H + T * A),
-        ),
-    )(
+    common_operands = (
         slab_tm, keys2, w_row, mask, emb_p,
         ap["W"].astype(wdtype),
         ap["b"].astype(jnp.float32).reshape(1, A),
         wh.astype(wdtype), b_gates, b_h, b_out_p,
-        wi_tiles, wout_tiles,
     )
+    flops = 2 * L * B * (Kp * H4 + H * H4 + H * Vp + Vp * E + T * A)
+    transc = L * B * (4 * H + T * A)
+
+    if resident:
+        kernel = functools.partial(_decode_kernel_resident, L=L, sos_id=sos_id,
+                                   cell=rnn_type, factored=factored, A=A)
+        tokens = pl.pallas_call(
+            kernel,
+            in_specs=[vspec] * 13,
+            out_specs=vspec,
+            out_shape=jax.ShapeDtypeStruct((B, L), jnp.int32),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                # every operand read from HBM exactly once
+                bytes_accessed=(Kp * H4 + H * Vp + Vp * E + H * H4
+                                + T * B * slab_tm.shape[2]) * wdtype.itemsize,
+                transcendentals=transc,
+            ),
+        )(*common_operands, wi_p, wout_p)
+    else:
+        n_g = H4 // tile_g
+        wi_tiles = wi_p.reshape(Kp, n_g, tile_g).transpose(1, 0, 2)    # [n_g, Kp, TG]
+        n_v = Vp // tile_v
+        wout_tiles = wout_p.reshape(H, n_v, tile_v).transpose(1, 0, 2)  # [n_v, H, TV]
+        kernel = functools.partial(_decode_kernel, L=L, sos_id=sos_id,
+                                   cell=rnn_type, factored=factored, A=A)
+        tokens = pl.pallas_call(
+            kernel,
+            in_specs=[
+                vspec,  # feats
+                vspec,  # keys2
+                vspec,  # w_row
+                vspec,  # mask
+                vspec,  # emb
+                vspec,  # attn W
+                vspec,  # attn b
+                vspec,  # wh
+                vspec,  # b_gates
+                vspec,  # b_h
+                vspec,  # b_out
+                hspec,  # wi tiles (HBM)
+                hspec,  # wout tiles (HBM)
+            ],
+            out_specs=vspec,
+            out_shape=jax.ShapeDtypeStruct((B, L), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((2, Kp, tile_g), wdtype),
+                pltpu.VMEM((2, H, tile_v), wdtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=L * (Kp * tile_g * n_g + H * Vp) * wdtype.itemsize,
+                transcendentals=transc,
+            ),
+        )(*common_operands, wi_tiles, wout_tiles)
     return jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), tokens], axis=1
     )                                                          # [B, max_caption_len]

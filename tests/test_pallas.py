@@ -26,19 +26,57 @@ def test_pallas_fused_greedy_decode_matches_xla(rng):
     outputs, _ = dec.decode(params, cfg, feats, captions=None,
                             max_caption_len=L, feat_mask=mask)
     ref_tokens = np.asarray(dec.greedy_tokens(outputs))
-    tok = np.asarray(greedy_decode_pallas(
-        params, feats, feat_mask=mask, max_caption_len=L,
-        weight_dtype="float32", interpret=True,
-    ))
-    np.testing.assert_array_equal(tok, ref_tokens)
+    for resident in (False, True):     # streaming-tile AND resident-weight kernels
+        tok = np.asarray(greedy_decode_pallas(
+            params, feats, feat_mask=mask, max_caption_len=L,
+            weight_dtype="float32", interpret=True, resident=resident,
+        ))
+        np.testing.assert_array_equal(tok, ref_tokens)
 
     # unmasked + non-default tiles (still clamped to the tiny dims)
     out2, _ = dec.decode(params, cfg, feats, captions=None, max_caption_len=L)
     tok2 = np.asarray(greedy_decode_pallas(
         params, feats, max_caption_len=L, tile_g=8, tile_v=256,
-        weight_dtype="float32", interpret=True,
+        weight_dtype="float32", interpret=True, resident=False,
     ))
     np.testing.assert_array_equal(tok2, np.asarray(dec.greedy_tokens(out2)))
+
+
+def test_pallas_greedy_resident_unfactored_and_auto(rng):
+    """Resident-weight kernel on the UNFACTORED slab path (narrow features:
+    the context rows live inside the resident wi), plus the auto rule:
+    tiny and headline shapes select resident; an absurd vocab doesn't."""
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.ops.pallas_decode import _resident_fits, greedy_decode_pallas
+
+    # F=4, H=16 -> BT*H4 >= BT*F + F*H4 -> factored False
+    cfg = DecoderConfig(in_feature_size=4, rnn_hidden_size=16, embedding_size=8,
+                        attn_size=8, output_size=27)
+    params = dec.init_decoder(jax.random.PRNGKey(3), cfg)
+    B, T, L = 4, 6, 8
+    from mvc_tpu.ops.pallas_beam import _use_factored
+    assert not _use_factored(B * T, 4, 64)
+    feats = jnp.asarray(rng.normal(size=(B, T, 4)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[2, 1:] = False
+    mask = jnp.asarray(mask)
+
+    out, _ = dec.decode(params, cfg, feats, captions=None, max_caption_len=L,
+                        feat_mask=mask)
+    ref = np.asarray(dec.greedy_tokens(out))
+    for resident in (False, True, None):   # None = auto (resident at this size)
+        tok = np.asarray(greedy_decode_pallas(
+            params, feats, feat_mask=mask, max_caption_len=L,
+            weight_dtype="float32", interpret=True, resident=resident,
+        ))
+        np.testing.assert_array_equal(tok, ref)
+
+    # auto rule: headline shape fits; a 2M-row vocab projection does not
+    assert _resident_fits(B=64, T=16, Fslab=2048, A=256, E=300, H=512,
+                          H4=2048, Vp=4096, Kp=512, itemsize=2)
+    assert not _resident_fits(B=64, T=16, Fslab=2048, A=256, E=300, H=512,
+                              H4=2048, Vp=2_000_000, Kp=512, itemsize=2)
 
 
 def test_pallas_fused_beam_single_decoder_matches_xla(rng):
@@ -233,11 +271,13 @@ def test_pallas_fused_greedy_gru_matches_xla(rng):
     out, _ = dec.decode(params, cfg, feats, captions=None, max_caption_len=L,
                         feat_mask=mask, dtype=jnp.float32)
     ref = np.asarray(dec.greedy_tokens(out))
-    tok = np.asarray(greedy_decode_pallas(
-        params, feats, feat_mask=mask, max_caption_len=L,
-        weight_dtype="float32", interpret=True, rnn_type="GRU",
-    ))
-    np.testing.assert_array_equal(tok, ref)
+    for resident in (False, True):     # streaming-tile AND resident-weight kernels
+        tok = np.asarray(greedy_decode_pallas(
+            params, feats, feat_mask=mask, max_caption_len=L,
+            weight_dtype="float32", interpret=True, rnn_type="GRU",
+            resident=resident,
+        ))
+        np.testing.assert_array_equal(tok, ref)
 
 
 def test_pallas_fused_dual_greedy_gru_matches_xla(rng):
