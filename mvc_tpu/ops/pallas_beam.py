@@ -161,6 +161,7 @@ def _beam_kernel(
     CR,
     sos_id, eos_id,
     topw="streaming",
+    resident=False,
 ):
     n_dec = len(dims)
     BW = B * W
@@ -171,15 +172,20 @@ def _beam_kernel(
     (mask_ref, row_clip_ref, row_beam_ref, col_clip_ref, col_beam_ref,
      stk_clip_ref, stk_beam_ref, featcol_clip_ref, emb_ref) = refs[:9]
     dec_refs = [refs[9 + 9 * d: 9 + 9 * (d + 1)] for d in range(n_dec)]
+    # resident: the same two weight slots hold full-width VMEM inputs
+    # ([Kp, H4] / [H, Vp]) instead of HBM tile stacks, and no scratch exists.
     wih_hbm = [refs[nin + 2 * d] for d in range(n_dec)]
     wout_hbm = [refs[nin + 1 + 2 * d] for d in range(n_dec)]
     hist_ref = refs[nin + 2 * n_dec]
     scr = refs[nin + 1 + 2 * n_dec:]
-    wih_buf = [scr[4 * d] for d in range(n_dec)]
-    wout_buf = [scr[1 + 4 * d] for d in range(n_dec)]
-    wih_sem = [scr[2 + 4 * d] for d in range(n_dec)]
-    wout_sem = [scr[3 + 4 * d] for d in range(n_dec)]
-    fused_scr = scr[4 * n_dec] if topw == "stored" else None
+    if resident:
+        wih_buf = wout_buf = wih_sem = wout_sem = fused_scr = None
+    else:
+        wih_buf = [scr[4 * d] for d in range(n_dec)]
+        wout_buf = [scr[1 + 4 * d] for d in range(n_dec)]
+        wih_sem = [scr[2 + 4 * d] for d in range(n_dec)]
+        wout_sem = [scr[3 + 4 * d] for d in range(n_dec)]
+        fused_scr = scr[4 * n_dec] if topw == "stored" else None
     wdtype = emb_ref.dtype
 
     def wih_dma(d, slot, j):
@@ -289,7 +295,10 @@ def _beam_kernel(
 
         # ---- 3. gates from the streamed tiles (LSTM: fused [wi; wh],
         # torch order i,f,g,o; GRU: wi-only tiles r,z,n with wh VMEM-resident
-        # and the recurrent n-bias kept inside the reset product) ----
+        # and the recurrent n-bias kept inside the reset product).
+        # RESIDENT: one full-width matmul per decoder against the VMEM copy —
+        # no DMA waits on the chain; same fused-[wi;wh] row layout (x already
+        # carries h for LSTM), so gv IS the full preactivation there. ----
         for d in range(n_dec):
             F, H, A, E, Eoff, Kp, TG, n_g, TV, n_v, cell, factored = dims[d]
             b_gates_ref, wh_ref, b_h_ref = (
@@ -297,6 +306,28 @@ def _beam_kernel(
             x, c_state = xs[d], cs[d]
             h_prev = hs[d].astype(wdtype)
             h_f32 = hs[d]
+            if resident:
+                n_gates = 4 if cell == "LSTM" else 3
+                gv_full = (jnp.dot(x, wih_hbm[d][:], preferred_element_type=f32)
+                           + b_gates_ref[:])
+                if factored:
+                    gv_full = gv_full + ctxgs[d]
+                gh_full = None
+                if cell == "GRU":
+                    gh_full = (jnp.dot(h_prev, wh_ref[:],
+                                       preferred_element_type=f32) + b_h_ref[:])
+                i_parts, g_parts = [None], [None]
+                c_parts, h_parts = [c_state], [None]
+                for gate_id in range(n_gates):
+                    col = gate_id * H
+                    gv = gv_full[:, col:col + H]
+                    gh = (gh_full[:, col:col + H] if cell == "GRU" else None)
+                    apply_gate_tile(cell, gate_id, 0, gv, gh, i_parts, g_parts,
+                                    c_parts, h_parts, h_f32, H)
+                if cell == "LSTM":
+                    cs[d] = c_parts[0]
+                hs[d] = h_parts[0]
+                continue
             tpg = H // TG
             i_parts, g_parts = [None] * tpg, [None] * tpg
             c_parts = [c_state[:, k * TG:(k + 1) * TG] for k in range(tpg)]
@@ -344,7 +375,36 @@ def _beam_kernel(
         h_wd = [hs[d].astype(wdtype) for d in range(n_dec)]
         n_v = dims[0][9]
         TV = dims[0][8]
-        for j in range(n_v):
+        if resident:
+            # Full-width projection per decoder, exact lse in one pass, then
+            # ONE W-pass extract-max over the fused [BW, Vp] — no tile loop,
+            # no DMA, no interleaved selection chains.  Padded cols carry
+            # -inf bias so they never win; tie-break by min token index.
+            Vp_full = n_v * TV
+            fused = jnp.zeros((BW, Vp_full), f32)
+            for d in range(n_dec):
+                b_out_ref = dec_refs[d][6]
+                logits = (jnp.dot(h_wd[d], wout_hbm[d][:],
+                                  preferred_element_type=f32) + b_out_ref[:])
+                mloc = jnp.max(logits, axis=1, keepdims=True)
+                m_lse[d] = mloc
+                s_lse[d] = jnp.sum(jnp.exp(logits - mloc), axis=1,
+                                   keepdims=True)
+                fused = fused + logits
+            cvals = fused
+            cidx = jax.lax.broadcasted_iota(
+                jnp.int32, (BW, Vp_full), 1).astype(f32)
+            nv_, nt_ = [], []
+            for _ in range(W):
+                mm = jnp.max(cvals, axis=1, keepdims=True)
+                sel = jnp.min(jnp.where(cvals == mm, cidx, BIG_IDX),
+                              axis=1, keepdims=True)
+                nv_.append(mm)
+                nt_.append(sel)
+                cvals = jnp.where(cidx == sel, BOTTOM, cvals)
+            run_vals = jnp.concatenate(nv_, axis=1)
+            run_tok = jnp.concatenate(nt_, axis=1)
+        for j in range(0 if resident else n_v):
             slot, nxt = j % 2, (j + 1) % 2
             for d in range(n_dec):
                 if j + 1 < n_v:
@@ -382,7 +442,7 @@ def _beam_kernel(
                 cvals = jnp.where(cidx == sel, BOTTOM, cvals)
             run_vals = jnp.concatenate(nv_, axis=1)
             run_tok = jnp.concatenate(nt_, axis=1)
-        if topw == "stored":
+        if topw == "stored" and not resident:
             Vp_full = n_v * TV
             cvals = fused_scr[:]                                         # [BW, Vp]
             cidx = jax.lax.broadcasted_iota(jnp.int32, (BW, Vp_full), 1).astype(f32)
@@ -465,8 +525,9 @@ def _beam_kernel(
                 newcum, fin_new, eos_new, hist_new)
 
     # ---- init + warm-up + loop + drain ----
-    for d in range(n_dec):
-        wih_dma(d, 0, 0).start()
+    if not resident:
+        for d in range(n_dec):
+            wih_dma(d, 0, 0).start()
 
     prev0 = jnp.full((BW, 1), float(sos_id), f32)
     hs0 = tuple(jnp.zeros((BW, dims[d][1]), f32) for d in range(n_dec))
@@ -484,8 +545,9 @@ def _beam_kernel(
     )
     hist_ref[:] = carry[8]
 
-    for d in range(n_dec):                  # drain the final step's prefetches
-        wih_dma(d, 0, 0).wait()
+    if not resident:
+        for d in range(n_dec):              # drain the final step's prefetches
+            wih_dma(d, 0, 0).wait()
 
 
 @functools.partial(
@@ -493,6 +555,7 @@ def _beam_kernel(
     static_argnames=(
         "max_caption_len", "beam_width", "beam_alpha", "tile_g", "tile_v",
         "weight_dtype", "interpret", "vmem_limit_mb", "rnn_types", "topw",
+        "resident",
     ),
 )
 def beam_decode_pallas(
@@ -513,6 +576,7 @@ def beam_decode_pallas(
     vmem_limit_mb: int = 64,
     rnn_types: tuple = ("LSTM", "LSTM"),
     topw: str = "streaming",
+    resident: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused beam search over joint (summed) decoder log-probs -> token ids
     ``[B, max_caption_len + 2]`` beginning with SOS — the same contract as
@@ -523,6 +587,15 @@ def beam_decode_pallas(
     passes ``[v_decoder, a_decoder]`` with ``[visual, audio]`` features.
     Weights stream as ``weight_dtype`` tiles (bf16 perf path, f32 for parity
     tests); all state and scoring accumulate in f32.
+
+    ``resident=True`` opts into the resident-weight kernel (every decoder's
+    full [wi;wh]/wout in VMEM for all steps — no per-step weight DMA,
+    full-width gate/vocab matmuls, one-pass lse and a single W-pass top-W).
+    Unlike the greedy/dual kernels it is NOT auto-selected: measured on one
+    v5e it never beat the streaming kernel (0.99x at B=64/W=5 — BENCH_NOTES
+    round 4b), whose selection chains already overlap the weight DMA.
+    ``topw`` only applies to the streaming kernel.  Token-identical either
+    way (tests/test_pallas.py).
     """
     n_dec = len(decoder_params)
     assert n_dec == len(feats_list) and n_dec >= 1
@@ -574,8 +647,8 @@ def beam_decode_pallas(
     dims = []
     vmem_ins = [mask, row_clip, row_beam, col_clip, col_beam,
                 stk_clip, stk_beam, featcol_clip]
-    hbm_ins = []
-    scratch = []
+    weights_full = []       # per decoder (wih_p, wout_p) — tiled only if streaming
+    res_bytes = B * T * 4 + BW * Vp * 4        # mask + one-hot intermediate
     emb_blocks = []
     eoff = 0
     for d, (params, feats) in enumerate(zip(decoder_params, feats_list)):
@@ -626,11 +699,8 @@ def beam_decode_pallas(
             wh_vm = wh.astype(wd)                        # [H, 3H] resident
             b_gates = params["rnn"]["bi"].astype(f32).reshape(1, H4)
             b_h = params["rnn"]["bh"].astype(f32).reshape(1, H4)
-        wih_tiles = wih_p.reshape(Kp, n_g, TG).transpose(1, 0, 2)
-
         wout = params["out"]["w"]
         wout_p = jnp.zeros((H, Vp), wd).at[:, :V].set(wout.astype(wd))
-        wout_tiles = wout_p.reshape(H, n_v, TV).transpose(1, 0, 2)
         b_out = jnp.full((1, Vp), -1e30, f32).at[0, :V].set(
             params["out"]["b"].astype(f32)
         )
@@ -651,13 +721,16 @@ def beam_decode_pallas(
             wh_vm,
             b_h,
         ]
-        hbm_ins += [wih_tiles, wout_tiles]
-        scratch += [
-            pltpu.VMEM((2, Kp, TG), wd),
-            pltpu.VMEM((2, H, TV), wd),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
+        weights_full.append((wih_p, wout_p))
+        # resident residency: slab + keys + full weights + live f32 logits,
+        # wh for GRU, plus the dominant activations (same terms fits_vmem
+        # charges, with the full weight set in place of the double-buffers)
+        res_bytes += (B * T * (slab.shape[1] + A)
+                      + Kp * H4 + H * Vp) * wd.itemsize
+        if cell == "GRU":
+            res_bytes += H * H4 * wd.itemsize
+        res_bytes += BW * Vp * 4 * 2           # per-dec logits + running fused
+        res_bytes += 4 * BW * (Kp + H4 + H) + 4 * BW * T * A
         emb_blocks.append((emb, E))
         dims.append((F, H, A, E, eoff, Kp, TG, n_g, TV, n_v, cell, factored))
         eoff += E
@@ -672,16 +745,46 @@ def beam_decode_pallas(
         emb_cat = emb_cat.at[:V, off:off + E].set(emb.astype(wd))
         off += E
     vmem_ins = vmem_ins[:8] + [emb_cat] + vmem_ins[8:]
+    res_bytes += Vp * ecat_p * wd.itemsize
+
+    if resident is None:
+        # Measured NULL result (scripts/bench_resident.py, BENCH_NOTES round
+        # 4b): unlike greedy/dual, beam resident never beat streaming on one
+        # v5e (0.99x at B=64/W=5, 0.95x at B=32/W=5) — the W-pass top-W over
+        # the full [B*W, Vp] f32 logits costs more VPU time than the weight
+        # DMA it removes, and the streaming kernel already overlaps that DMA
+        # with its selection chains.  Auto therefore always streams; resident
+        # stays an explicit, parity-tested knob.
+        resident = False
 
     assert topw in ("streaming", "stored"), topw
-    if topw == "stored":
-        scratch.append(pltpu.VMEM((BW, Vp), f32))
+    hbm_ins = []
+    scratch = []
+    if resident:
+        for wih_p, wout_p in weights_full:
+            vmem_ins += [wih_p, wout_p]
+    else:
+        for (wih_p, wout_p), dd in zip(weights_full, dims):
+            Kp_d, TG_d, n_g_d = dd[5], dd[6], dd[7]
+            H_d = dd[1]
+            hbm_ins += [
+                wih_p.reshape(Kp_d, n_g_d, TG_d).transpose(1, 0, 2),
+                wout_p.reshape(H_d, n_v, TV).transpose(1, 0, 2),
+            ]
+            scratch += [
+                pltpu.VMEM((2, Kp_d, TG_d), wd),
+                pltpu.VMEM((2, H_d, TV), wd),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        if topw == "stored":
+            scratch.append(pltpu.VMEM((BW, Vp), f32))
     kernel = functools.partial(
         _beam_kernel,
         dims=tuple(dims), B=B, T=T, W=W, V=V, L=L,
         alpha=float(beam_alpha),
         CR=CR, sos_id=SOS_ID, eos_id=EOS_ID,
-        topw=topw,
+        topw=topw, resident=resident,
     )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec(memory_space=pl.ANY)
@@ -692,9 +795,12 @@ def beam_decode_pallas(
             pltpu, "TPUCompilerParams", None
         )
         if cp_cls is not None:
-            kwargs["compiler_params"] = cp_cls(
-                vmem_limit_bytes=int(vmem_limit_mb) << 20
-            )
+            # resident mode holds the full weight set as scoped VMEM
+            # allocations — a streaming-sized cap would spuriously OOM it
+            # (pallas_dual_greedy saw 58.6 MB wanted vs a 48 MB cap), so it
+            # gets the full v5e capacity; the auto rule gates on res_bytes
+            lim = (128 << 20) if resident else int(vmem_limit_mb) << 20
+            kwargs["compiler_params"] = cp_cls(vmem_limit_bytes=lim)
 
     flops_step = sum(
         2 * BW * (dd[5] * dd[6] * dd[7] + dd[1] * Vp) + 2 * BW * BW * dd[1]
@@ -710,9 +816,13 @@ def beam_decode_pallas(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=L * flops_step,
-            bytes_accessed=L * sum(
-                dd[5] * dd[6] * dd[7] + dd[1] * Vp for dd in dims
-            ) * wd.itemsize,
+            # resident: every operand read from HBM exactly once; streaming:
+            # the wih/wout tiles re-stream every step
+            bytes_accessed=(
+                res_bytes if resident else L * sum(
+                    dd[5] * dd[6] * dd[7] + dd[1] * Vp for dd in dims
+                ) * wd.itemsize
+            ),
             transcendentals=L * BW * sum(4 * dd[1] + T * dd[2] for dd in dims),
         ),
         **kwargs,

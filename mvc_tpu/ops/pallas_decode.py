@@ -317,7 +317,12 @@ def _decode_kernel_resident(
 def _resident_fits(B, T, Fslab, A, E, H, H4, Vp, Kp, itemsize) -> bool:
     """Auto rule for the resident-weight kernel: VMEM-resident operands +
     dominant live f32 activations, with the same 25% margin fits_vmem uses,
-    against the v5e ~128 MiB capacity."""
+    against the v5e ~128 MiB capacity.  Also requires B >= 48: measured on
+    one v5e (scripts/bench_resident.py, BENCH_NOTES round 4b), resident wins
+    1.17x at B=64 and 1.10x at B=96 but LOSES (0.89x) at B=32, where the
+    full-width matmuls are too row-starved to beat the streaming overlap."""
+    if B < 48:
+        return False
     total = (T * B * Fslab + B * T * A + Vp * E + H * H4
              + Kp * H4 + H * Vp) * itemsize
     total += 2 * B * Vp * 4        # one-hot + logits f32

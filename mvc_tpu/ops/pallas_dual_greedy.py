@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mvc_tpu.ops._gates import apply_gate_tile
 from mvc_tpu.ops.pallas_beam import _use_factored
+from mvc_tpu.ops.pallas_decode import _attn_wsum, _embed_prev
 
 
 def _round_up(x: int, m: int) -> int:
@@ -206,11 +207,108 @@ def _dual_kernel(*refs, dims, B, T, L, n_v, TV, sos_id):
         tokens_ref[:, t:t + 1] = fus_idx
 
 
+def _dual_kernel_resident(*refs, dims, B, T, L, Vp, sos_id):
+    """Resident-weight variant of ``_dual_kernel`` (see
+    pallas_decode._decode_kernel_resident): every decoder's wi/wout is a
+    VMEM-resident input read from HBM once by the pallas_call prologue, and
+    each step runs full-width matmuls — no per-step weight DMA, no
+    semaphores.  ``dims`` has the same per-decoder layout (TG/n_g unused).
+    Token-identical to the streaming kernel."""
+    n_dec = len(dims)
+    f32 = jnp.float32
+
+    mask_ref = refs[0]
+    dec_refs = [refs[1 + 10 * d: 1 + 10 * (d + 1)] for d in range(n_dec)]
+    nin = 1 + 10 * n_dec
+    wi_ref = [refs[nin + 2 * d] for d in range(n_dec)]
+    wout_ref = [refs[nin + 2 * d + 1] for d in range(n_dec)]
+    tokens_ref = refs[nin + 2 * n_dec]
+    wdtype = wi_ref[0].dtype
+
+    hs = [jnp.zeros((B, dims[d][1]), f32) for d in range(n_dec)]
+    cs = [jnp.zeros((B, dims[d][1]), f32) for d in range(n_dec)]
+    prevs = [jnp.full((B, 1), sos_id, jnp.int32) for _ in range(n_dec)]
+
+    for t in range(L):
+        # ---- 1+2. per-decoder embedding of its OWN previous token and
+        # additive attention (shared phase helpers with the single kernel)
+        xs, ctxgs = [], []
+        for d in range(n_dec):
+            F, H, A, E, Kp, _TG, _ng, cell, factored = dims[d]
+            (feats_ref, keys2_ref, wrow_ref, emb_ref, attn_w_ref,
+             attn_b_ref, _, _, _, _) = dec_refs[d]
+            embedded = _embed_prev(prevs[d], emb_ref, wdtype, B)
+            wsum = _attn_wsum(hs[d], feats_ref, keys2_ref, wrow_ref, mask_ref,
+                              attn_w_ref, attn_b_ref, A, wdtype)
+            if factored:
+                ctxgs.append(wsum)
+                parts = [embedded.astype(wdtype)]
+                pad = Kp - E
+            else:
+                ctxgs.append(None)
+                parts = [wsum.astype(wdtype), embedded.astype(wdtype)]
+                pad = Kp - (F + E)
+            if pad:
+                parts.append(jnp.zeros((B, pad), wdtype))
+            xs.append(jnp.concatenate(parts, axis=1))            # [B, Kp]
+
+        # ---- 3. gates per decoder: ONE full-width input matmul each
+        for d in range(n_dec):
+            F, H, A, E, Kp, _TG, _ng, cell, factored = dims[d]
+            wh_ref, b_gates_ref, b_h_ref = (
+                dec_refs[d][6], dec_refs[d][7], dec_refs[d][8])
+            h_prev = hs[d].astype(wdtype)
+            h_f32 = hs[d]
+            gv_full = (jnp.dot(xs[d], wi_ref[d][:], preferred_element_type=f32)
+                       + b_gates_ref[:])
+            if factored:
+                gv_full = gv_full + ctxgs[d]
+            gh_full = jnp.dot(h_prev, wh_ref[:], preferred_element_type=f32)
+            if cell == "GRU":
+                gh_full = gh_full + b_h_ref[:]
+            n_gates = 4 if cell == "LSTM" else 3
+            i_parts, g_parts = [None], [None]
+            c_parts, h_parts = [cs[d]], [None]
+            for gate_id in range(n_gates):
+                col = gate_id * H
+                gv = gv_full[:, col:col + H]
+                gh = gh_full[:, col:col + H]
+                if cell == "LSTM":
+                    gv = gv + gh                                 # fused preact
+                apply_gate_tile(cell, gate_id, 0, gv, gh, i_parts, g_parts,
+                                c_parts, h_parts, h_f32, H)
+            if cell == "LSTM":
+                cs[d] = c_parts[0]
+            hs[d] = h_parts[0]
+
+        # ---- 4. full-width vocab projections: per-decoder AND fused argmax
+        # (padded cols carry -inf bias; lowest-index tie-break)
+        iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+        fused = jnp.zeros((B, Vp), f32)
+        own_idx = []
+        for d in range(n_dec):
+            b_out_ref = dec_refs[d][9]
+            logits = (jnp.dot(hs[d].astype(wdtype), wout_ref[d][:],
+                              preferred_element_type=f32) + b_out_ref[:])
+            fused = fused + logits
+            m = jnp.max(logits, axis=1, keepdims=True)
+            own_idx.append(jnp.min(
+                jnp.where(logits == m, iota_v, jnp.int32(2**30)),
+                axis=1, keepdims=True))
+        m = jnp.max(fused, axis=1, keepdims=True)
+        fus_idx = jnp.min(
+            jnp.where(fused == m, iota_v, jnp.int32(2**30)),
+            axis=1, keepdims=True)
+
+        prevs = own_idx
+        tokens_ref[:, t:t + 1] = fus_idx
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "max_caption_len", "sos_id", "tile_g", "tile_v", "weight_dtype",
-        "interpret", "vmem_limit_mb", "rnn_types",
+        "interpret", "vmem_limit_mb", "rnn_types", "resident",
     ),
 )
 def dual_greedy_decode_pallas(
@@ -225,12 +323,18 @@ def dual_greedy_decode_pallas(
     interpret: bool = False,
     vmem_limit_mb: int = 48,
     rnn_types: tuple = ("LSTM", "LSTM"),
+    resident: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused dual-direct greedy -> tokens [B, max_caption_len], matching
     ``greedy_tokens(v_outputs + a_outputs)`` where each decoder free-runs on
     its own argmax (models/captioning.py AVCaptioningDual direct mode,
     replicating reference src/models/captioning.py:279-288).  Column 0 is
-    the zero-row argmax (= 0), columns 1.. are the decode steps."""
+    the zero-row argmax (= 0), columns 1.. are the decode steps.
+
+    ``resident=None`` auto-selects the resident-weight kernel (every
+    decoder's wi/wout VMEM-resident for all steps; see
+    pallas_decode._resident_fits for the measured batch crossover) when the
+    whole operand set fits the VMEM budget."""
     n_dec = len(decoder_params)
     assert n_dec == len(feats_list) and n_dec >= 1
     B, T, _ = feats_list[0].shape
@@ -252,8 +356,8 @@ def dual_greedy_decode_pallas(
 
     dims = []
     vmem_ins = [mask]
-    hbm_ins = []
-    scratch = []
+    weights_full = []          # per decoder (wi_p, wout_p) — tiled only if streaming
+    res_bytes = B * T * 4      # resident-mode VMEM estimate (mask f32)
     for params, feats, cell in zip(decoder_params, feats_list, rnn_types):
         emb = params["embedding"]["table"]
         assert emb.shape[0] == V, "decoders must share the vocabulary"
@@ -288,12 +392,13 @@ def dual_greedy_decode_pallas(
         wi_x = (wi[:E] if factored
                 else jnp.concatenate([wi[E:], wi[:E]], axis=0)).astype(wd)
         wi_p = jnp.zeros((Kp, H4), wd).at[:wi_x.shape[0]].set(wi_x)
-        wi_tiles = wi_p.reshape(Kp, n_g, TG).transpose(1, 0, 2)
         wout_p = jnp.zeros((H, Vp), wd).at[:, :V].set(params["out"]["w"].astype(wd))
-        wout_tiles = wout_p.reshape(H, n_v, TV).transpose(1, 0, 2)
         b_out = jnp.full((1, Vp), -1e30, f32).at[0, :V].set(
             params["out"]["b"].astype(f32)
         )
+        res_bytes += (T * B * slab_tm.shape[2] + B * T * A + Vp * E
+                      + H * H4 + Kp * H4 + H * Vp) * wd.itemsize
+        res_bytes += 2 * B * Vp * 4 + 2 * B * H4 * 4  # one-hot/logits, gv/gh f32
         if cell == "LSTM":
             b_gates = (params["rnn"]["bi"] + params["rnn"]["bh"]).astype(f32).reshape(1, H4)
             b_h = jnp.zeros((1, H4), f32)
@@ -313,19 +418,43 @@ def dual_greedy_decode_pallas(
             b_h,
             b_out,
         ]
-        hbm_ins += [wi_tiles, wout_tiles]
-        scratch += [
-            pltpu.VMEM((2, Kp, TG), wd),
-            pltpu.VMEM((2, H, TV), wd),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
+        weights_full.append((wi_p, wout_p))
         dims.append((F, H, A, E, Kp, TG, n_g, cell, factored))
 
-    kernel = functools.partial(
-        _dual_kernel, dims=tuple(dims), B=B, T=T, L=L,
-        n_v=n_v, TV=TV, sos_id=sos_id,
-    )
+    if resident is None:
+        # VMEM fit only — NO batch crossover, unlike the single-decoder rule
+        # (pallas_decode._resident_fits): with two decoders the streaming
+        # kernel pays double the per-step DMA wait chains, and resident
+        # measured faster at every batch tried on one v5e (1.131x at B=32,
+        # 1.015x at B=64 — scripts/bench_resident.py, BENCH_NOTES round 4b)
+        resident = res_bytes * 4 // 3 < 128 * 1024 * 1024
+
+    hbm_ins = []
+    scratch = []
+    if resident:
+        for wi_p, wout_p in weights_full:
+            vmem_ins += [wi_p, wout_p]
+        kernel = functools.partial(
+            _dual_kernel_resident, dims=tuple(dims), B=B, T=T, L=L,
+            Vp=Vp, sos_id=sos_id,
+        )
+    else:
+        for (wi_p, wout_p), (F, H, A, E, Kp, TG, n_g, cell, fac) in zip(
+                weights_full, dims):
+            hbm_ins += [
+                wi_p.reshape(Kp, n_g, TG).transpose(1, 0, 2),
+                wout_p.reshape(H, n_v, TV).transpose(1, 0, 2),
+            ]
+            scratch += [
+                pltpu.VMEM((2, Kp, TG), wd),
+                pltpu.VMEM((2, H, TV), wd),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        kernel = functools.partial(
+            _dual_kernel, dims=tuple(dims), B=B, T=T, L=L,
+            n_v=n_v, TV=TV, sos_id=sos_id,
+        )
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec(memory_space=pl.ANY)
 
@@ -335,9 +464,14 @@ def dual_greedy_decode_pallas(
             pltpu, "TPUCompilerParams", None
         )
         if cp_cls is not None:
-            kwargs["compiler_params"] = cp_cls(
-                vmem_limit_bytes=int(vmem_limit_mb) << 20
-            )
+            # the resident kernel's VMEM-resident weights are scoped
+            # allocations: the caller's streaming-sized cap would spuriously
+            # OOM it (measured: Mosaic wants 58.6 MB at dual B=64 — more
+            # than the operand estimate — vs the 48 MB default), so resident
+            # mode gets the full v5e capacity; the auto rule already gated
+            # on the residency estimate
+            lim = (128 << 20) if resident else int(vmem_limit_mb) << 20
+            kwargs["compiler_params"] = cp_cls(vmem_limit_bytes=lim)
 
     tokens = pl.pallas_call(
         kernel,
@@ -351,10 +485,14 @@ def dual_greedy_decode_pallas(
                 Kp * 4 * H + H * 4 * H + H * Vp + Vp * E + T * A
                 for (F, H, A, E, Kp, TG, n_g, cell, _fac) in dims
             ),
-            bytes_accessed=L * sum(
-                (Kp * TG * n_g + H * Vp)
-                for (F, H, A, E, Kp, TG, n_g, cell, _fac) in dims
-            ) * wd.itemsize,
+            # resident: every operand read from HBM exactly once; streaming:
+            # the wi/wout tiles re-stream every step
+            bytes_accessed=(
+                res_bytes if resident else L * sum(
+                    (Kp * TG * n_g + H * Vp)
+                    for (F, H, A, E, Kp, TG, n_g, cell, _fac) in dims
+                ) * wd.itemsize
+            ),
             transcendentals=L * B * sum(4 * dd[1] + T * dd[2] for dd in dims),
         ),
         **kwargs,

@@ -45,7 +45,8 @@ def test_pallas_fused_greedy_decode_matches_xla(rng):
 def test_pallas_greedy_resident_unfactored_and_auto(rng):
     """Resident-weight kernel on the UNFACTORED slab path (narrow features:
     the context rows live inside the resident wi), plus the auto rule:
-    tiny and headline shapes select resident; an absurd vocab doesn't."""
+    the headline shape selects resident; small batches (measured crossover,
+    BENCH_NOTES round 4b) and absurd vocabs don't."""
     from mvc_tpu.config import DecoderConfig
     from mvc_tpu.models import decoder as dec
     from mvc_tpu.ops.pallas_decode import _resident_fits, greedy_decode_pallas
@@ -65,16 +66,19 @@ def test_pallas_greedy_resident_unfactored_and_auto(rng):
     out, _ = dec.decode(params, cfg, feats, captions=None, max_caption_len=L,
                         feat_mask=mask)
     ref = np.asarray(dec.greedy_tokens(out))
-    for resident in (False, True, None):   # None = auto (resident at this size)
+    for resident in (False, True, None):   # None = auto (streaming at B=4)
         tok = np.asarray(greedy_decode_pallas(
             params, feats, feat_mask=mask, max_caption_len=L,
             weight_dtype="float32", interpret=True, resident=resident,
         ))
         np.testing.assert_array_equal(tok, ref)
 
-    # auto rule: headline shape fits; a 2M-row vocab projection does not
+    # auto rule: the headline shape fits; small batch (measured crossover)
+    # and a 2M-row vocab projection don't
     assert _resident_fits(B=64, T=16, Fslab=2048, A=256, E=300, H=512,
                           H4=2048, Vp=4096, Kp=512, itemsize=2)
+    assert not _resident_fits(B=32, T=16, Fslab=2048, A=256, E=300, H=512,
+                              H4=2048, Vp=4096, Kp=512, itemsize=2)
     assert not _resident_fits(B=64, T=16, Fslab=2048, A=256, E=300, H=512,
                               H4=2048, Vp=2_000_000, Kp=512, itemsize=2)
 
@@ -107,11 +111,13 @@ def test_pallas_fused_beam_single_decoder_matches_xla(rng):
     ref = np.asarray(beam_mod.beam_search(
         step_fn, init_state, B, 31, max_caption_len=L, beam_alpha=0.0, beam_width=W,
     ))
-    tok = np.asarray(beam_decode_pallas(
-        [params], [feats], feat_mask=mask, max_caption_len=L, beam_width=W,
-        beam_alpha=0.0, weight_dtype="float32", interpret=True,
-    ))
-    np.testing.assert_array_equal(tok, ref)
+    for resident in (False, True):   # streaming-tile AND resident-weight kernels
+        tok = np.asarray(beam_decode_pallas(
+            [params], [feats], feat_mask=mask, max_caption_len=L, beam_width=W,
+            beam_alpha=0.0, weight_dtype="float32", interpret=True,
+            resident=resident,
+        ))
+        np.testing.assert_array_equal(tok, ref)
 
 
 def test_pallas_fused_beam_dual_matches_xla(rng):
@@ -153,11 +159,13 @@ def test_pallas_fused_beam_dual_matches_xla(rng):
         ref = np.asarray(beam_mod.beam_search(
             step_fn, init_state, B, 29, max_caption_len=L, beam_alpha=alpha, beam_width=W,
         ))
-        tok = np.asarray(beam_decode_pallas(
-            [vp, ap], [vfeats, afeats], feat_mask=mask, max_caption_len=L,
-            beam_width=W, beam_alpha=alpha, weight_dtype="float32", interpret=True,
-        ))
-        np.testing.assert_array_equal(tok, ref)
+        for resident in (False, True):
+            tok = np.asarray(beam_decode_pallas(
+                [vp, ap], [vfeats, afeats], feat_mask=mask, max_caption_len=L,
+                beam_width=W, beam_alpha=alpha, weight_dtype="float32",
+                interpret=True, resident=resident,
+            ))
+            np.testing.assert_array_equal(tok, ref)
 
 
 def test_pallas_fused_dual_greedy_matches_xla(rng):
@@ -190,11 +198,12 @@ def test_pallas_fused_dual_greedy_matches_xla(rng):
         dtype=jnp.float32, max_caption_len=L,
     )
     ref = np.asarray(dec.greedy_tokens(v_out + a_out))
-    tok = np.asarray(dual_greedy_decode_pallas(
-        [vp, ap], [vfeats, afeats], feat_mask=mask, max_caption_len=L,
-        weight_dtype="float32", interpret=True,
-    ))
-    np.testing.assert_array_equal(tok, ref)
+    for resident in (False, True):     # streaming-tile AND resident-weight kernels
+        tok = np.asarray(dual_greedy_decode_pallas(
+            [vp, ap], [vfeats, afeats], feat_mask=mask, max_caption_len=L,
+            weight_dtype="float32", interpret=True, resident=resident,
+        ))
+        np.testing.assert_array_equal(tok, ref)
 
 
 def test_dispatch_enable_pallas_override():
@@ -242,13 +251,14 @@ def test_pallas_fused_beam_early_exit_parity(rng):
     ref = np.asarray(beam_mod.beam_search(
         step_fn, init_state, B, 31, max_caption_len=L, beam_alpha=0.7, beam_width=W,
     ))
-    tok = np.asarray(beam_decode_pallas(
-        [params], [feats], max_caption_len=L, beam_width=W, beam_alpha=0.7,
-        weight_dtype="float32", interpret=True,
-    ))
     # sanity: EOS actually fired well before L (the early exit is exercised)
     assert (ref[:, 1:] == EOS_ID).any(axis=1).all()
-    np.testing.assert_array_equal(tok, ref)
+    for resident in (False, True):
+        tok = np.asarray(beam_decode_pallas(
+            [params], [feats], max_caption_len=L, beam_width=W, beam_alpha=0.7,
+            weight_dtype="float32", interpret=True, resident=resident,
+        ))
+        np.testing.assert_array_equal(tok, ref)
 
 
 def test_pallas_fused_greedy_gru_matches_xla(rng):
@@ -306,11 +316,13 @@ def test_pallas_fused_dual_greedy_gru_matches_xla(rng):
         dtype=jnp.float32, max_caption_len=L,
     )
     ref = np.asarray(dec.greedy_tokens(v_out + a_out))
-    tok = np.asarray(dual_greedy_decode_pallas(
-        [vp, ap], [vfeats, afeats], max_caption_len=L,
-        weight_dtype="float32", interpret=True, rnn_types=("GRU", "LSTM"),
-    ))
-    np.testing.assert_array_equal(tok, ref)
+    for resident in (False, True):     # mixed cells on both kernel variants
+        tok = np.asarray(dual_greedy_decode_pallas(
+            [vp, ap], [vfeats, afeats], max_caption_len=L,
+            weight_dtype="float32", interpret=True, rnn_types=("GRU", "LSTM"),
+            resident=resident,
+        ))
+        np.testing.assert_array_equal(tok, ref)
 
 
 def test_pallas_fused_beam_gru_matches_xla(rng):
@@ -346,11 +358,13 @@ def test_pallas_fused_beam_gru_matches_xla(rng):
         g_step, _beam_init_state("GRU", B, W, 16, jnp.float32), B, 29,
         max_caption_len=L, beam_alpha=0.0, beam_width=W,
     ))
-    tok = np.asarray(beam_decode_pallas(
-        [gp], [gfeats], feat_mask=mask, max_caption_len=L, beam_width=W,
-        weight_dtype="float32", interpret=True, rnn_types=("GRU",),
-    ))
-    np.testing.assert_array_equal(tok, ref)
+    for resident in (False, True):
+        tok = np.asarray(beam_decode_pallas(
+            [gp], [gfeats], feat_mask=mask, max_caption_len=L, beam_width=W,
+            weight_dtype="float32", interpret=True, rnn_types=("GRU",),
+            resident=resident,
+        ))
+        np.testing.assert_array_equal(tok, ref)
 
     # mixed GRU + LSTM dual, alpha > 0
     def d_step(prev, state):
@@ -364,12 +378,13 @@ def test_pallas_fused_beam_gru_matches_xla(rng):
     ref2 = np.asarray(beam_mod.beam_search(
         d_step, init, B, 29, max_caption_len=L, beam_alpha=0.7, beam_width=W,
     ))
-    tok2 = np.asarray(beam_decode_pallas(
-        [gp, lp], [gfeats, lfeats], feat_mask=mask, max_caption_len=L,
-        beam_width=W, beam_alpha=0.7, weight_dtype="float32", interpret=True,
-        rnn_types=("GRU", "LSTM"),
-    ))
-    np.testing.assert_array_equal(tok2, ref2)
+    for resident in (False, True):
+        tok2 = np.asarray(beam_decode_pallas(
+            [gp, lp], [gfeats, lfeats], feat_mask=mask, max_caption_len=L,
+            beam_width=W, beam_alpha=0.7, weight_dtype="float32",
+            interpret=True, rnn_types=("GRU", "LSTM"), resident=resident,
+        ))
+        np.testing.assert_array_equal(tok2, ref2)
 
 
 def test_fits_vmem_contract_sweep(rng):
