@@ -128,6 +128,12 @@ class TrainerConfig:
     # padded up to the smallest bucket that fits; caps bound XLA recompiles.
     frame_buckets: Sequence[int] = (8, 16, 32, 48, 64)
     caption_buckets: Sequence[int] = (12, 16, 20, 26, 34)
+    # Fused chunked-vocab CE + entropy (training/fused_loss.py): the train
+    # step computes the loss from decoder hiddens in vocab tiles and never
+    # materializes the [L, B, V] log-prob stacks (forward or backward).
+    # Same math to float precision; auto-falls-back when unsupported
+    # (compat_batch_axis_entropy, tp>1 vocab sharding, transformer family).
+    fused_loss: bool = True
     # Mask attention over padded frames.  The reference attends to zero-padded
     # frames (no mask — src/models/temporal_attention.py is called without
     # masks from the decoder); masking is strictly saner and makes results
@@ -156,7 +162,12 @@ class MeshConfig:
     dp: int = -1        # data-parallel axis size; -1 = all remaining devices
     tp: int = 1         # tensor-parallel axis (vocab/hidden sharding)
     sp: int = 1         # sequence-parallel axis (frame axis T sharding)
-    axis_names: Tuple[str, ...] = ("dp", "tp")
+
+    @property
+    def axis_names(self) -> Tuple[str, ...]:
+        """Axis names of the mesh ``mesh_from_config`` builds for this config
+        (derived — sp adds a third axis only when > 1)."""
+        return ("dp", "tp", "sp") if self.sp > 1 else ("dp", "tp")
 
 
 @dataclass

@@ -756,6 +756,20 @@ def beam_decode_pallas(
         # with its selection chains.  Auto therefore always streams; resident
         # stays an explicit, parity-tested knob.
         resident = False
+    elif resident:
+        # Explicit resident=True skips the fit heuristic; past ~3/4 of the
+        # 128 MiB v5e VMEM the Mosaic compile fails outright instead of
+        # falling back, so surface the estimate up front.
+        import warnings
+
+        if res_bytes * 4 // 3 >= 128 * 1024 * 1024:
+            warnings.warn(
+                f"beam resident=True with ~{res_bytes / 2**20:.0f} MiB of "
+                "VMEM-resident state (fit estimate exceeds the 128 MiB v5e "
+                "capacity) — expect a Mosaic compile failure; use "
+                "resident=None/False to stream instead",
+                stacklevel=2,
+            )
 
     assert topw in ("streaming", "stored"), topw
     hbm_ins = []
@@ -798,7 +812,9 @@ def beam_decode_pallas(
             # resident mode holds the full weight set as scoped VMEM
             # allocations — a streaming-sized cap would spuriously OOM it
             # (pallas_dual_greedy saw 58.6 MB wanted vs a 48 MB cap), so it
-            # gets the full v5e capacity; the auto rule gates on res_bytes
+            # gets the full v5e capacity.  For beam, resident is never
+            # auto-selected (measured NULL above) — only reached via the
+            # explicit knob, which warns on an over-capacity res_bytes fit.
             lim = (128 << 20) if resident else int(vmem_limit_mb) << 20
             kwargs["compiler_params"] = cp_cls(vmem_limit_bytes=lim)
 

@@ -334,7 +334,14 @@ def dual_greedy_decode_pallas(
     ``resident=None`` auto-selects the resident-weight kernel (every
     decoder's wi/wout VMEM-resident for all steps; see
     pallas_decode._resident_fits for the measured batch crossover) when the
-    whole operand set fits the VMEM budget."""
+    whole operand set fits the fixed 128 MiB v5e capacity.
+
+    ``vmem_limit_mb`` caps the STREAMING kernel's VMEM only.  Resident mode
+    (auto-selected or explicit) always compiles against the full 128 MiB
+    capacity — its weights are scoped VMEM allocations a streaming-sized cap
+    would spuriously OOM — so lowering this knob for co-residency does not
+    constrain (or deselect) the resident kernel; pass ``resident=False`` to
+    force the capped streaming variant."""
     n_dec = len(decoder_params)
     assert n_dec == len(feats_list) and n_dec >= 1
     B, T, _ = feats_list[0].shape
