@@ -88,15 +88,14 @@ def _pallas_dispatch(params_list, feats_list, feat_mask, rnn_types,
     return kernel(params_list, feats_list, feat_mask)
 
 
-def _dual_tf_hoisted(
+def _dual_tf_hoisted_hiddens(
     v_params, a_params, v_cfg, a_cfg,
     v_feats, a_feats, captions, feat_mask, dtype, v_keys, a_keys,
 ):
-    """Fused dual decode under full teacher forcing with hoisted GEMMs —
-    the dual-scan counterpart of ``decoder._decode_tf_hoisted`` (embedded
-    input GEMMs and vocab projections leave the scan; wide-feature context
-    rows ride P = feats @ wi_ctx).  Each scan step streams only the two
-    recurrent ``wh`` matrices."""
+    """Hidden-state core of ``_dual_tf_hoisted``: returns (v_hids, a_hids)
+    [L-1, B, H] f32 tails without the vocab projections — shared by the
+    fused-loss path (training/fused_loss.py), which projects in vocab
+    tiles instead."""
     from mvc_tpu.config import SOS_ID as SOS_ID_
     from mvc_tpu.ops.pallas_beam import _use_factored
 
@@ -148,6 +147,23 @@ def _dual_tf_hoisted(
         )
 
     _, (v_hids, a_hids) = jax.lax.scan(step, init, (v_gi, a_gi))
+    return v_hids, a_hids
+
+
+def _dual_tf_hoisted(
+    v_params, a_params, v_cfg, a_cfg,
+    v_feats, a_feats, captions, feat_mask, dtype, v_keys, a_keys,
+):
+    """Fused dual decode under full teacher forcing with hoisted GEMMs —
+    the dual-scan counterpart of ``decoder._decode_tf_hoisted`` (embedded
+    input GEMMs and vocab projections leave the scan; wide-feature context
+    rows ride P = feats @ wi_ctx).  Each scan step streams only the two
+    recurrent ``wh`` matrices."""
+    L, B = captions.shape
+    v_hids, a_hids = _dual_tf_hoisted_hiddens(
+        v_params, a_params, v_cfg, a_cfg,
+        v_feats, a_feats, captions, feat_mask, dtype, v_keys, a_keys,
+    )
 
     def outs(params, hids):
         logits = (hids.astype(dtype) @ quant.wmat(params["out"]["w"], dtype)
@@ -232,6 +248,72 @@ def dual_decode_fused(
         pad0(v_outs, v_cfg.output_size), pad0(v_hids, v_cfg.rnn_hidden_size),
         pad0(a_outs, a_cfg.output_size), pad0(a_hids, a_cfg.rnn_hidden_size),
     )
+
+
+def dual_decode_hiddens(
+    v_params, a_params, v_cfg, a_cfg,
+    visual, audio, captions,
+    teacher_forcing_ratio: float,
+    rng, feat_mask, dtype=jnp.float32,
+):
+    """Hiddens-only training decode for the dual model: identical decoder
+    trajectories to ``dual_decode_fused`` (same per-decoder teacher-forcing
+    coins, same argmax feeds) but the two per-step [B, V] log-probs are
+    consumed in-scan for token selection only and never stacked — the
+    fused-loss path (training/fused_loss.py).
+
+    Returns (v_hiddens, a_hiddens), each [L, B, H] f32 with row 0 zeroed."""
+    B = visual.shape[0]
+    L = int(captions.shape[0])
+    v_feats = visual.astype(dtype)
+    a_feats = audio.astype(dtype)
+    v_keys = attn.precompute_keys(v_params["attention"], v_feats)
+    a_keys = attn.precompute_keys(a_params["attention"], a_feats)
+
+    if (teacher_forcing_ratio >= 1.0 and L > 1
+            and not quant.is_quantized(v_params["rnn"]["wi"])
+            and not quant.is_quantized(a_params["rnn"]["wi"])):
+        v_hids, a_hids = _dual_tf_hoisted_hiddens(
+            v_params, a_params, v_cfg, a_cfg,
+            v_feats, a_feats, captions, feat_mask, dtype, v_keys, a_keys,
+        )
+    else:
+        if teacher_forcing_ratio > 0:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            rng_v, rng_a = jax.random.split(rng)
+            use_tf_v = jax.random.bernoulli(rng_v, teacher_forcing_ratio, (L,))
+            use_tf_a = jax.random.bernoulli(rng_a, teacher_forcing_ratio, (L,))
+        else:
+            use_tf_v = use_tf_a = jnp.zeros((L,), dtype=bool)
+        init = (
+            jnp.full((B,), 1, dtype=jnp.int32),  # SOS
+            rnn.init_state(v_cfg.rnn_type, B, v_cfg.rnn_hidden_size, dtype),
+            jnp.full((B,), 1, dtype=jnp.int32),
+            rnn.init_state(a_cfg.rnn_type, B, a_cfg.rnn_hidden_size, dtype),
+        )
+
+        def step(carry, xs):
+            v_prev, v_state, a_prev, a_state = carry
+            gold_t, tf_v, tf_a = xs
+            v_logp, v_new, _ = dec.decoder_step(
+                v_params, v_cfg, v_prev, v_state, v_feats, v_keys, feat_mask, dtype)
+            a_logp, a_new, _ = dec.decoder_step(
+                a_params, a_cfg, a_prev, a_state, a_feats, a_keys, feat_mask, dtype)
+            v_next = jnp.where(tf_v, gold_t, jnp.argmax(v_logp, -1).astype(jnp.int32))
+            a_next = jnp.where(tf_a, gold_t, jnp.argmax(a_logp, -1).astype(jnp.int32))
+            return (v_next, v_new, a_next, a_new), (
+                rnn.state_hidden(v_cfg.rnn_type, v_new).astype(jnp.float32),
+                rnn.state_hidden(a_cfg.rnn_type, a_new).astype(jnp.float32),
+            )
+
+        xs = (captions[1:], use_tf_v[1:], use_tf_a[1:])
+        _, (v_hids, a_hids) = jax.lax.scan(step, init, xs)
+
+    def pad0(x, width):
+        return jnp.concatenate([jnp.zeros((1, B, width), jnp.float32), x], axis=0)
+
+    return (pad0(v_hids, v_cfg.rnn_hidden_size),
+            pad0(a_hids, a_cfg.rnn_hidden_size))
 
 
 def dual_greedy_tokens_fused(
@@ -382,6 +464,39 @@ class AVCaptioning:
             return outputs, None, None
         a_dim = audio.shape[2]
         return outputs, recons[:, :, :a_dim], recons[:, :, a_dim:]
+
+    def forward_hiddens(
+        self,
+        params,
+        audio: jnp.ndarray,
+        visual: jnp.ndarray,
+        captions: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        teacher_forcing_ratio: Optional[float] = None,
+        feat_mask: Optional[jnp.ndarray] = None,
+    ):
+        """Fused-loss training forward: identical decoder trajectory and
+        reconstructions to ``forward`` but the [L, B, V] outputs never
+        materialize (training/fused_loss.py projects the vocab in tiles).
+
+        Returns (hiddens_tuple, out_params_tuple, audio_recons, visual_recons)
+        where hiddens are [L, B, H] (row 0 zeroed) and out_params are the
+        matching {"w", "b"} vocab projections."""
+        tf = teacher_forcing_ratio if teacher_forcing_ratio is not None else self.teacher_forcing_ratio
+        features = jnp.concatenate([audio, visual], axis=-1)
+        hiddens = dec.decode_hiddens(
+            params["decoder"], self.decoder_config, features, captions,
+            teacher_forcing_ratio=tf, rng=rng, feat_mask=feat_mask, dtype=self.dtype,
+        )
+        recons = rec.reconstruct(
+            params["reconstructor"], self.reconstructor_config,
+            hiddens, None, captions, feat_len=features.shape[1], dtype=self.dtype,
+        )
+        outs = (params["decoder"]["out"],)
+        if recons is None:
+            return (hiddens,), outs, None, None
+        a_dim = audio.shape[2]
+        return (hiddens,), outs, recons[:, :, :a_dim], recons[:, :, a_dim:]
 
     def predict_tokens(
         self,
@@ -579,6 +694,39 @@ class AVCaptioningDual:
             v_hiddens, v_outputs, captions, feat_len=visual.shape[1], dtype=self.dtype,
         )
         return outputs, audio_recons, visual_recons
+
+    def forward_hiddens(
+        self,
+        params,
+        audio: jnp.ndarray,
+        visual: jnp.ndarray,
+        captions: jnp.ndarray,
+        rng: Optional[jax.Array] = None,
+        teacher_forcing_ratio: Optional[float] = None,
+        feat_mask: Optional[jnp.ndarray] = None,
+    ):
+        """Fused-loss training forward: identical decoder trajectories and
+        reconstructions to ``forward`` but neither decoder's [L, B, V]
+        log-prob stack materializes (training/fused_loss.py handles the
+        summed-log-softmax fusion of the two streams analytically).
+
+        Returns (hiddens_tuple, out_params_tuple, audio_recons, visual_recons).
+        """
+        tf = teacher_forcing_ratio if teacher_forcing_ratio is not None else self.teacher_forcing_ratio
+        v_hiddens, a_hiddens = dual_decode_hiddens(
+            params["v_decoder"], params["a_decoder"], self.v_config, self.a_config,
+            visual, audio, captions, tf, rng, feat_mask, self.dtype,
+        )
+        audio_recons = rec.reconstruct(
+            params["a_reconstructor"], self.a_rec_config,
+            a_hiddens, None, captions, feat_len=audio.shape[1], dtype=self.dtype,
+        )
+        visual_recons = rec.reconstruct(
+            params["v_reconstructor"], self.v_rec_config,
+            v_hiddens, None, captions, feat_len=visual.shape[1], dtype=self.dtype,
+        )
+        outs = (params["v_decoder"]["out"], params["a_decoder"]["out"])
+        return (v_hiddens, a_hiddens), outs, audio_recons, visual_recons
 
     def predict_tokens(
         self,

@@ -122,25 +122,12 @@ def decoder_step(
     return log_probs, new_state, weights
 
 
-def _decode_tf_hoisted(
+def _tf_hoisted_hiddens(
     params, cfg: DecoderConfig, feats, captions, feat_mask, dtype, keys,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Teacher-forced (ratio >= 1) decode with every hoistable GEMM hoisted.
-
-    Under full teacher forcing the fed tokens are the gold captions and the
-    in-scan argmax is dead code, so three of the four weight streams leave
-    the scan (same observable contract as the generic path):
-
-    - the embedded-side input GEMM runs once over all timesteps
-      (``rnn.rnn_input_preact``) instead of re-streaming ``wi`` per step
-    - the context rows of ``wi`` either ride the same hoisted GEMM through
-      P = feats @ wi_ctx (wide features, ``ops.pallas_beam._use_factored``
-      rule) or stay per-step for narrow features where P would inflate reads
-    - the vocab projection runs once over the stacked hiddens after the scan
-
-    The scan streams only ``wh`` per step.  Float summation order differs
-    from the generic path in the last ulps (preactivation adds reassociate);
-    tokens/losses agree to test tolerances (tests/test_decoder.py)."""
+) -> jnp.ndarray:
+    """Hidden-state core of ``_decode_tf_hoisted``: returns [L-1, B, H] f32
+    (no vocab projection) — shared by the fused-loss path, which projects
+    inside ``training/fused_loss.py`` in vocab tiles instead."""
     L, B = captions.shape
     E = cfg.embedding_size
     F = feats.shape[2]
@@ -182,6 +169,30 @@ def _decode_tf_hoisted(
         return new_state, rnn.state_hidden(cfg.rnn_type, new_state).astype(jnp.float32)
 
     _, hiddens = jax.lax.scan(step, init_state, gi_emb)                  # [L-1, B, H]
+    return hiddens
+
+
+def _decode_tf_hoisted(
+    params, cfg: DecoderConfig, feats, captions, feat_mask, dtype, keys,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced (ratio >= 1) decode with every hoistable GEMM hoisted.
+
+    Under full teacher forcing the fed tokens are the gold captions and the
+    in-scan argmax is dead code, so three of the four weight streams leave
+    the scan (same observable contract as the generic path):
+
+    - the embedded-side input GEMM runs once over all timesteps
+      (``rnn.rnn_input_preact``) instead of re-streaming ``wi`` per step
+    - the context rows of ``wi`` either ride the same hoisted GEMM through
+      P = feats @ wi_ctx (wide features, ``ops.pallas_beam._use_factored``
+      rule) or stay per-step for narrow features where P would inflate reads
+    - the vocab projection runs once over the stacked hiddens after the scan
+
+    The scan streams only ``wh`` per step.  Float summation order differs
+    from the generic path in the last ulps (preactivation adds reassociate);
+    tokens/losses agree to test tolerances (tests/test_decoder.py)."""
+    L, B = captions.shape
+    hiddens = _tf_hoisted_hiddens(params, cfg, feats, captions, feat_mask, dtype, keys)
 
     logits = (hiddens.astype(dtype) @ quant.wmat(params["out"]["w"], dtype)
               + params["out"]["b"].astype(dtype)).astype(jnp.float32)
@@ -249,6 +260,61 @@ def decode(
     outputs = jnp.concatenate([zeros_out, outs], axis=0)
     hidden_states = jnp.concatenate([zeros_h, hiddens], axis=0)
     return outputs, hidden_states
+
+
+def decode_hiddens(
+    params,
+    cfg: DecoderConfig,
+    feats: jnp.ndarray,                    # [B, T, F]
+    captions: jnp.ndarray,                 # [L, B] int32 gold tokens
+    teacher_forcing_ratio: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    feat_mask: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Hiddens-only training decode: identical decoder trajectory to
+    ``decode`` (same teacher-forcing coins, same argmax feeds) but the
+    per-step [B, V] log-probs are consumed in-scan for token selection only
+    and never stacked — the fused-loss path (training/fused_loss.py)
+    recomputes the vocab projection in tiles instead.
+
+    Returns hiddens [L, B, H] f32 with row 0 zeroed (the stacked contract).
+    """
+    B = feats.shape[0]
+    L = int(captions.shape[0])
+    feats = feats.astype(dtype)
+    keys = attn.precompute_keys(params["attention"], feats)
+
+    if (teacher_forcing_ratio >= 1.0 and L > 1
+            and not quant.is_quantized(params["rnn"]["wi"])):
+        hiddens = _tf_hoisted_hiddens(params, cfg, feats, captions, feat_mask, dtype, keys)
+    else:
+        # Same coin stream as ``decode`` (one Bernoulli per timestep).
+        if teacher_forcing_ratio > 0:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            use_tf = jax.random.bernoulli(rng, teacher_forcing_ratio, (L,))
+        else:
+            use_tf = jnp.zeros((L,), dtype=bool)
+        init_state = rnn.init_state(cfg.rnn_type, B, cfg.rnn_hidden_size, dtype)
+        init_prev = jnp.full((B,), SOS_ID, dtype=jnp.int32)
+
+        def step(carry, xs):
+            prev, state = carry
+            gold_t, tf_t = xs
+            log_probs, new_state, _ = decoder_step(
+                params, cfg, prev, state, feats, keys, feat_mask, dtype
+            )
+            top1 = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            next_prev = jnp.where(tf_t, gold_t, top1)
+            h = rnn.state_hidden(cfg.rnn_type, new_state).astype(jnp.float32)
+            return (next_prev, new_state), h
+
+        xs = (captions[1:], use_tf[1:]) if L > 1 else (captions[:0], use_tf[:0])
+        (_, _), hiddens = jax.lax.scan(step, (init_prev, init_state), xs)
+
+    zeros_h = jnp.zeros((1, B, cfg.rnn_hidden_size), jnp.float32)
+    return jnp.concatenate([zeros_h, hiddens], axis=0)
 
 
 def greedy_tokens(outputs: jnp.ndarray) -> jnp.ndarray:

@@ -124,23 +124,60 @@ class Trainer:
                 params,
             )
 
+        # Fused chunked-vocab loss (training/fused_loss.py): compute CE +
+        # entropy from decoder hiddens in vocab tiles — neither forward nor
+        # backward materializes a [L, B, V] log-prob stack.  Falls back to
+        # the materializing path for the batch-axis entropy bug-compat mode,
+        # for tp>1 (the vocab projection is sharded over tp; the tile scan
+        # would gather it), and for model families without forward_hiddens.
+        tp = 1 if self.mesh is None else self.mesh.shape.get("tp", 1)
+        use_fused = (
+            getattr(cfg, "fused_loss", True)
+            and not getattr(cfg, "compat_batch_axis_entropy", False)
+            and tp == 1
+            and hasattr(model, "forward_hiddens")
+        )
+
         def compute_loss(params, batch, rng, tf_ratio):
             feat_mask = batch["feat_mask"] if mask_feats else None
-            outputs, a_rec, v_rec = model.forward(
-                cast_params(params), batch["audio"], batch["visual"], batch["captions"],
-                rng=rng, teacher_forcing_ratio=tf_ratio, feat_mask=feat_mask,
-            )
+            sample_mask = batch.get("sample_mask")
+            p = cast_params(params)
             # Bucketed collators pad partial batches and pad_batch_to_multiple
             # pads for the dp axis: drop those rows from every batch-mean so
             # the loss matches the reference's (never-batch-padded) math
             # exactly — without the mask the entropy/global-recon terms dilute
             # by n_real/B and local-recon MSE reads the zero rows (losses.py).
-            loss, ce, ent, a_l, v_l = loss_fn(
-                outputs, batch["captions"],
-                batch["audio"], a_rec, batch["visual"], v_rec,
-                feat_mask=feat_mask,
-                sample_mask=batch.get("sample_mask"),
-            )
+            if use_fused:
+                from mvc_tpu.training import fused_loss as fused_lib
+
+                h_list, outs, a_rec, v_rec = model.forward_hiddens(
+                    p, batch["audio"], batch["visual"], batch["captions"],
+                    rng=rng, teacher_forcing_ratio=tf_ratio, feat_mask=feat_mask,
+                )
+                ce, ent = fused_lib.ce_entropy_from_hiddens(
+                    h_list, outs, batch["captions"],
+                    sample_mask=sample_mask, compute_dtype=compute,
+                )
+                a_l = loss_lib._single_reconstruction_loss(
+                    batch["captions"], batch["audio"], a_rec,
+                    model.reconstructor_type, feat_mask, sample_mask)
+                v_l = loss_lib._single_reconstruction_loss(
+                    batch["captions"], batch["visual"], v_rec,
+                    model.reconstructor_type, feat_mask, sample_mask)
+                loss = (ce + cfg.reg_lambda * ent
+                        + cfg.audio_recon_lambda * a_l
+                        + cfg.visual_recon_lambda * v_l)
+            else:
+                outputs, a_rec, v_rec = model.forward(
+                    p, batch["audio"], batch["visual"], batch["captions"],
+                    rng=rng, teacher_forcing_ratio=tf_ratio, feat_mask=feat_mask,
+                )
+                loss, ce, ent, a_l, v_l = loss_fn(
+                    outputs, batch["captions"],
+                    batch["audio"], a_rec, batch["visual"], v_rec,
+                    feat_mask=feat_mask,
+                    sample_mask=sample_mask,
+                )
             metrics = {"total": loss, "ce": ce, "e": ent, "a_recon": a_l, "v_recon": v_l}
             return loss, metrics
 
