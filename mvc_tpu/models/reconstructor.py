@@ -91,13 +91,14 @@ def global_reconstruct(
         [hiddens[1:], jnp.broadcast_to(pooled[None], (L - 1, B, H))], axis=-1)
     gi_all = rnn.rnn_input_preact(params["rnn"], cfg.rnn_type, x_all)
 
-    def step(state, gi_t):
-        _, new_state = rnn.rnn_step_pre(params["rnn"], cfg.rnn_type, gi_t, state)
-        return new_state, rnn.state_hidden(cfg.rnn_type, new_state).astype(jnp.float32)
-
     # The reference loops t = 1..L-1, leaving recons[0] = 0
-    # (src/models/reconstructor.py:178-183).
-    _, recons = jax.lax.scan(step, init_state, gi_all)
+    # (src/models/reconstructor.py:178-183).  rnn_scan_pre is the custom-vjp
+    # scan whose backward forms dwh as ONE stacked GEMM — at this module's
+    # [2048, 8192] recurrent weight, lax.scan's per-step f32 grad
+    # accumulator was the largest single HBM stream in the train step
+    # (~1.07 GB/step, BENCH_NOTES round 5).
+    recons = rnn.rnn_scan_pre(
+        params["rnn"], cfg.rnn_type, gi_all, init_state).astype(jnp.float32)
     recons = jnp.concatenate([jnp.zeros((1, B, cfg.hidden_size), jnp.float32), recons], axis=0)
     return recons.transpose(1, 0, 2)                               # [B, L, F]
 

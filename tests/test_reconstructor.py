@@ -117,3 +117,47 @@ def test_reconstruct_dispatch(rng):
     pl = rec.init_local_reconstructor(jax.random.PRNGKey(2), L_CFG)
     rl = rec.reconstruct(pl, L_CFG, hiddens, outputs, jnp.asarray(captions), T)
     assert rl.shape == (B, T, F)
+
+
+def test_rnn_scan_pre_custom_vjp_matches_lax_scan():
+    """rnn.rnn_scan_pre (custom-vjp backward: dwh as one stacked GEMM) must
+    match the plain lax.scan of rnn_step_pre — bitwise forward, float-
+    tolerance gradients — for both cells and compute dtypes."""
+    import numpy as np
+
+    from mvc_tpu.models import rnn
+
+    rg = np.random.default_rng(0)
+    L, B, H = 6, 8, 32
+    for cell, G in (("LSTM", 4), ("GRU", 3)):
+        for d, gtol in ((jnp.float32, 1e-5), (jnp.bfloat16, 6e-2)):
+            params = jax.tree.map(
+                lambda x: x.astype(d),
+                rnn.init_rnn(jax.random.PRNGKey(0), cell, in_size=16, hidden_size=H))
+            gi = jnp.asarray(rg.normal(size=(L, B, G * H)).astype(np.float32)).astype(d)
+            init = rnn.init_state(cell, B, H, d)
+
+            def plain(wh, bh, gi):
+                p2 = {**params, "wh": wh, "bh": bh}
+
+                def step(state, gi_t):
+                    _, ns = rnn.rnn_step_pre(p2, cell, gi_t, state)
+                    return ns, rnn.state_hidden(cell, ns)
+
+                _, hs = jax.lax.scan(step, init, gi)
+                return hs
+
+            def fused(wh, bh, gi):
+                return rnn.rnn_scan_pre({**params, "wh": wh, "bh": bh}, cell, gi, init)
+
+            wh, bh = params["wh"], params["bh"]
+            np.testing.assert_array_equal(np.asarray(plain(wh, bh, gi)),
+                                          np.asarray(fused(wh, bh, gi)))
+            ga = jax.grad(lambda *a: (plain(*a).astype(jnp.float32) ** 2).sum(),
+                          argnums=(0, 1, 2))(wh, bh, gi)
+            gb = jax.grad(lambda *a: (fused(*a).astype(jnp.float32) ** 2).sum(),
+                          argnums=(0, 1, 2))(wh, bh, gi)
+            for x, y in zip(ga, gb):
+                np.testing.assert_allclose(
+                    np.asarray(x, np.float32), np.asarray(y, np.float32),
+                    rtol=gtol, atol=gtol, err_msg=f"{cell} {d}")
