@@ -230,6 +230,170 @@ PyObject* meteor_stats(PyObject*, PyObject* args) {
   return Py_BuildValue("(dii)", best->weighted, best->matches, best->chunks);
 }
 
+// Span-capable alignment search (meteor-1.5 stage 4 paraphrases), identical
+// to mvc_tpu.evalcap.meteor._align_spans: word stages propose 1x1 spans in
+// C++ (exact/stem/synonym, as meteor_stats); the caller passes the
+// paraphrase-stage span candidates per hypothesis START position (table
+// lookups stay in Python).  Objective: (1) max covered words (hyp + ref),
+// (2) min chunks, (3) min summed start distance, (4) max summed stage weight
+// (a span contributes w * (hl + rl) / 2).  Returns the winning match list
+// [(hs, hl, rs, rl, w)] so Python can apply cf()-weighted scoring.
+struct SpanMatch {
+  int hs, hl, rs, rl;
+  double w;
+};
+
+struct SpanState {
+  uint64_t mask = 0;
+  int last_h = -2;   // last matched hyp END position
+  int last_r = -2;   // last matched ref END position
+  int mh = 0, mr = 0, chunks = 0, dist = 0;
+  double wsum = 0.0;
+  std::vector<SpanMatch> pairs;
+};
+
+bool span_better(const SpanState& a, const SpanState& b) {
+  int ca = a.mh + a.mr, cb = b.mh + b.mr;
+  if (ca != cb) return ca > cb;
+  if (a.chunks != b.chunks) return a.chunks < b.chunks;
+  if (a.dist != b.dist) return a.dist < b.dist;
+  if (a.wsum != b.wsum) return a.wsum > b.wsum;
+  if (a.mask != b.mask) return a.mask < b.mask;
+  if (a.last_h != b.last_h) return a.last_h < b.last_h;
+  return a.last_r < b.last_r;
+}
+
+// meteor_align_spans(hyp, ref, hyp_stems, ref_stems, exact_w, stem_w,
+//                    hyp_syn, ref_syn, syn_w, span_cands, beam)
+//   span_cands: per-hyp-position list of (hl, rs, rl, w) paraphrase spans
+// -> [(hs, hl, rs, rl, w), ...] of the winning matching
+PyObject* meteor_align_spans(PyObject*, PyObject* args) {
+  PyObject *hyp_o, *ref_o, *hyp_s_o, *ref_s_o;
+  PyObject *hyp_syn_o = Py_None, *ref_syn_o = Py_None, *spans_o = Py_None;
+  double w_exact = 1.0, w_stem = 0.6, w_syn = 0.8;
+  int beam = kBeamWidth;
+  if (!PyArg_ParseTuple(args, "O!O!O!O!ddOOdO|i", &PyList_Type, &hyp_o,
+                        &PyList_Type, &ref_o, &PyList_Type, &hyp_s_o,
+                        &PyList_Type, &ref_s_o, &w_exact, &w_stem,
+                        &hyp_syn_o, &ref_syn_o, &w_syn, &spans_o, &beam)) {
+    return nullptr;
+  }
+  auto hyp = list_to_strings(hyp_o);
+  auto ref = list_to_strings(ref_o);
+  auto hyp_stems = list_to_strings(hyp_s_o);
+  auto ref_stems = list_to_strings(ref_s_o);
+  if (ref.size() > 64) {
+    PyErr_SetString(PyExc_ValueError,
+                    "meteor_align_spans: reference longer than 64 words "
+                    "(mask width); use the Python aligner");
+    return nullptr;
+  }
+  bool use_syn = hyp_syn_o != Py_None && ref_syn_o != Py_None;
+  std::vector<std::vector<int64_t>> hyp_ids, ref_ids;
+  if (use_syn) {
+    if (!list_to_id_sets(hyp_syn_o, hyp_ids) ||
+        !list_to_id_sets(ref_syn_o, ref_ids)) {
+      return nullptr;
+    }
+  }
+
+  const int n = static_cast<int>(hyp.size());
+  const int m = static_cast<int>(ref.size());
+  // candidates per hyp start: word stages (1x1) + caller-provided spans
+  std::vector<std::vector<SpanMatch>> cand(n);
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j < m; ++j) {
+      double w;
+      if (hyp[i] == ref[j]) w = w_exact;
+      else if (hyp_stems[i] == ref_stems[j]) w = w_stem;
+      else if (use_syn && !hyp_ids[i].empty() && !ref_ids[j].empty() &&
+               sorted_intersects(hyp_ids[i], ref_ids[j])) w = w_syn;
+      else continue;
+      cand[i].push_back({i, 1, j, 1, w});
+    }
+  }
+  if (spans_o != Py_None) {
+    if (!PyList_Check(spans_o) || PyList_Size(spans_o) != n) {
+      PyErr_SetString(PyExc_TypeError,
+                      "span_cands must be a per-hyp-position list");
+      return nullptr;
+    }
+    for (int i = 0; i < n; ++i) {
+      PyObject* row = PyList_GetItem(spans_o, i);  // borrowed
+      Py_ssize_t k = PySequence_Size(row);
+      if (k < 0) return nullptr;
+      for (Py_ssize_t q = 0; q < k; ++q) {
+        PyObject* item = PySequence_GetItem(row, q);  // new ref
+        int hl, rs, rl;
+        double w;
+        if (!PyArg_ParseTuple(item, "iiid", &hl, &rs, &rl, &w)) {
+          Py_DECREF(item);
+          return nullptr;
+        }
+        Py_DECREF(item);
+        cand[i].push_back({i, hl, rs, rl, w});
+      }
+    }
+  }
+
+  // beam search over hyp positions, bucketed by position (spans advance by
+  // hl); per-(mask, last_h, last_r) dominance within a bucket
+  using Key = std::tuple<uint64_t, int, int>;
+  std::vector<std::map<Key, SpanState>> buckets(n + 1);
+  buckets[0][{0, -2, -2}] = SpanState{};
+  auto push = [&buckets](int pos, SpanState&& s) {
+    Key k{s.mask, s.last_h, s.last_r};
+    auto& bucket = buckets[pos];
+    auto it = bucket.find(k);
+    if (it == bucket.end() || span_better(s, it->second)) {
+      bucket[k] = std::move(s);
+    }
+  };
+  std::vector<SpanState> pool;
+  for (int i = 0; i < n; ++i) {
+    pool.clear();
+    pool.reserve(buckets[i].size());
+    for (auto& kv : buckets[i]) pool.push_back(std::move(kv.second));
+    buckets[i].clear();
+    if (static_cast<int>(pool.size()) > beam) {
+      std::nth_element(pool.begin(), pool.begin() + beam, pool.end(),
+                       span_better);
+      pool.resize(beam);
+    }
+    for (auto& st : pool) {
+      for (const auto& c : cand[i]) {
+        uint64_t span = ((c.rl >= 64 ? ~0ULL : ((1ULL << c.rl) - 1)) << c.rs);
+        if (st.mask & span) continue;
+        SpanState nx = st;
+        nx.mask |= span;
+        nx.chunks += (st.last_h == i - 1 && st.last_r == c.rs - 1) ? 0 : 1;
+        nx.last_h = i + c.hl - 1;
+        nx.last_r = c.rs + c.rl - 1;
+        nx.mh += c.hl;
+        nx.mr += c.rl;
+        nx.dist += std::abs(i - c.rs);
+        nx.wsum += c.w * (c.hl + c.rl) / 2.0;
+        nx.pairs.push_back(c);
+        push(i + c.hl, std::move(nx));
+      }
+      push(i + 1, std::move(st));  // leave hyp[i] unmatched (moved LAST)
+    }
+  }
+  const SpanState* best = nullptr;
+  for (const auto& kv : buckets[n]) {
+    if (best == nullptr || span_better(kv.second, *best)) best = &kv.second;
+  }
+  PyObject* out = PyList_New(best ? static_cast<Py_ssize_t>(best->pairs.size()) : 0);
+  if (best != nullptr) {
+    for (size_t q = 0; q < best->pairs.size(); ++q) {
+      const auto& p = best->pairs[q];
+      PyList_SetItem(out, static_cast<Py_ssize_t>(q),
+                     Py_BuildValue("(iiiid)", p.hs, p.hl, p.rs, p.rl, p.w));
+    }
+  }
+  return out;
+}
+
 // ------------------------------------------------------------------ LCS
 PyObject* lcs(PyObject*, PyObject* args) {
   PyObject *a_o, *b_o;
@@ -393,6 +557,10 @@ PyMethodDef kMethods[] = {
     {"meteor_stats", meteor_stats, METH_VARARGS,
      "METEOR alignment stats: (hyp, ref, hyp_stems, ref_stems[, w_exact, "
      "w_stem, hyp_syn, ref_syn, w_syn]) -> (weighted, matches, chunks)"},
+    {"meteor_align_spans", meteor_align_spans, METH_VARARGS,
+     "Span-capable METEOR alignment (stage-4 paraphrases): (hyp, ref, "
+     "hyp_stems, ref_stems, w_exact, w_stem, hyp_syn, ref_syn, w_syn, "
+     "span_cands[, beam]) -> [(hs, hl, rs, rl, w), ...]"},
     {"lcs", lcs, METH_VARARGS, "LCS length of two token lists"},
     {"ptb_tokenize", ptb_tokenize, METH_VARARGS,
      "PTB tokenize + lowercase + COCO punctuation strip"},

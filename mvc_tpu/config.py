@@ -144,6 +144,12 @@ class TrainerConfig:
     # per line) enabling the meteor-1.5 stage-3 matcher (weight 0.8).  The
     # reference's WordNet/paraphrase data is non-redistributable (PARITY.md).
     meteor_synonyms: Optional[str] = None
+    # Optional METEOR stage-4 paraphrase table (one pair per line,
+    # "phrase one ||| phrase two") and en-task function-word list (one word
+    # per line, enabling delta=0.75 content/function weighting) — the same
+    # user-supplied-data design as the synonym stage (evalcap/meteor.py).
+    meteor_paraphrases: Optional[str] = None
+    meteor_function_words: Optional[str] = None
 
     eval_max_caption_len: int = 30     # reference src/train.py:324
     eval_mode: str = "direct"          # "direct" (reference fit-time) | "beam"

@@ -20,15 +20,19 @@ from mvc_tpu.evalcap.tokenizer import PTBTokenizer
 
 
 def NLPScore(
-    ref: Dict[str, List[str]], hypo: Dict[str, List[str]], meteor_synonyms=None
+    ref: Dict[str, List[str]], hypo: Dict[str, List[str]], meteor_synonyms=None,
+    meteor_paraphrases=None, meteor_function_words=None,
 ) -> Dict[str, float]:
     """ref: {video_id: [gt captions]}, hypo: {video_id: [generated caption]}.
     Returns {Bleu_1..4, METEOR, ROUGE_L, CIDEr} (reference src/losses.py:140-160).
     ``meteor_synonyms``: optional synonym table (path / SynonymTable / groups)
-    enabling METEOR's stage-3 synonym matcher."""
+    enabling METEOR's stage-3 synonym matcher.  ``meteor_paraphrases`` /
+    ``meteor_function_words``: optional paraphrase-pair table (stage 4) and
+    function-word list (en-task delta weighting) — evalcap/meteor.py."""
     scorers = [
         (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
-        (Meteor(synonyms=meteor_synonyms), "METEOR"),
+        (Meteor(synonyms=meteor_synonyms, paraphrases=meteor_paraphrases,
+                function_words=meteor_function_words), "METEOR"),
         (Rouge(), "ROUGE_L"),
         (Cider(), "CIDEr"),
     ]
@@ -48,10 +52,13 @@ class COCOEvalCap:
     (reference pycocoevalcap/eval.py)."""
 
     def __init__(self, gts: Dict[str, List[str]], res: Dict[str, List[str]],
-                 meteor_synonyms=None, spice_lexicon=None, spice_synonyms=None):
+                 meteor_synonyms=None, spice_lexicon=None, spice_synonyms=None,
+                 meteor_paraphrases=None, meteor_function_words=None):
         self._gts_raw = gts
         self._res_raw = res
         self._meteor_synonyms = meteor_synonyms
+        self._meteor_paraphrases = meteor_paraphrases
+        self._meteor_function_words = meteor_function_words
         # SPICE is opt-in via a POS lexicon — the reference keeps it commented
         # out of its harness (pycocoevalcap/eval.py:44); see evalcap/spice.py.
         # Constructor args win; the MVC_SPICE_LEXICON / MVC_SPICE_SYNONYMS env
@@ -80,7 +87,9 @@ class COCOEvalCap:
 
         scorers = [
             (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
-            (Meteor(synonyms=self._meteor_synonyms), "METEOR"),
+            (Meteor(synonyms=self._meteor_synonyms,
+                    paraphrases=self._meteor_paraphrases,
+                    function_words=self._meteor_function_words), "METEOR"),
             (Rouge(), "ROUGE_L"),
             (Cider(), "CIDEr"),
         ]

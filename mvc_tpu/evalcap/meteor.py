@@ -5,24 +5,37 @@ The reference shells out to ``meteor-1.5.jar`` over a stdio line protocol
 git-LFS blob even in the reference repo, so its METEOR path cannot actually
 run.  This is a from-scratch implementation of the published algorithm:
 
-- matcher stages: exact match, Porter-stem match, and — when a user-supplied
-  synonym table is provided — a synonym stage (meteor-1.5 runs WordNet
-  synonymy as its stage 3; the WordNet / paraphrase-en.gz data is not
-  redistributable here, so the table is user-supplied: a text file with one
-  synonym group per line, words whitespace-separated)
+- matcher stages: exact match, Porter-stem match, and — when user-supplied
+  tables are provided — the synonym stage (meteor-1.5 runs WordNet synonymy
+  as its stage 3) and the PARAPHRASE stage (meteor-1.5 runs phrase-table
+  paraphrase matching as its stage 4: multi-word spans of the hypothesis
+  matched against multi-word spans of the reference when the two phrases are
+  paraphrases).  The WordNet / paraphrase-en.gz data itself is not
+  redistributable here, so both tables are user-supplied: synonyms as a text
+  file with one whitespace-separated synonym group per line, paraphrases as
+  one pair per line ("phrase one ||| phrase two", tab-separated also
+  accepted)
 - alignment: meteor-1.5's alignment SEARCH, not a greedy pass — over all
-  one-to-one matchings drawn from the candidate pairs of every stage, pick
-  the one that (1) maximizes the number of matches, (2) minimizes the chunk
-  count, (3) minimizes the summed |i-j| match distance, (4) maximizes the
-  summed stage weight.  Solved as a beam search over hypothesis positions
-  with exact per-(used-refs, last-match) state dominance; the jar searches
-  with beam 40, this implementation defaults to 512 and is validated against
-  a brute-force optimal-alignment oracle (tests/test_meteor_alignment.py)
+  one-to-one matchings (word matches and non-overlapping phrase-span
+  matches) pick the one that (1) maximizes the covered word count,
+  (2) minimizes the chunk count, (3) minimizes the summed start-position
+  distance, (4) maximizes the summed stage weight.  Solved as a beam search
+  over hypothesis positions with exact per-(used-refs, last-match) state
+  dominance; the jar searches with beam 40, this implementation defaults to
+  512 and is validated against brute-force optimal-alignment oracles
+  (tests/test_meteor_alignment.py, word and span variants)
 - scoring (English task defaults): alpha=0.85, beta=0.2, gamma=0.6,
-  stage weights exact=1.0, stem=0.6, synonym=0.8 (meteor-1.5 ``-l en``)
-      P = sum(w_i * m_i) / len(hyp),  R = sum(w_i * m_i) / len(ref)
+  stage weights exact=1.0, stem=0.6, synonym=0.8, paraphrase=0.6
+  (meteor-1.5 ``-l en``), and — when a user-supplied function-word list is
+  given — the en task's delta=0.75 content/function word weighting:
+      P = sum_matched w_stage * cf(word_hyp) / sum_hyp cf(word)
+      R = sum_matched w_stage * cf(word_ref) / sum_ref cf(word)
+        with cf(w) = delta for content words, (1 - delta) for function words
+        (without a function-word list every word is content and delta
+         cancels, reducing to the unweighted P/R)
       Fmean = P * R / (alpha * P + (1 - alpha) * R)
-      Pen = gamma * (chunks / matches) ** beta
+      Pen = gamma * (chunks / m_avg) ** beta,  m_avg = (m_hyp + m_ref) / 2
+        (phrase matches can cover different word counts on each side)
       score = (1 - Pen) * Fmean
 - multiple references: the best-scoring reference wins (per METEOR)
 - corpus score: computed from summed segment statistics, like the jar's
@@ -39,7 +52,8 @@ from mvc_tpu.evalcap.stemmer import porter_stem
 ALPHA = 0.85
 BETA = 0.2
 GAMMA = 0.6
-STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym (meteor-1.5 en)
+DELTA = 0.75                          # en-task content-word weight (meteor-1.5)
+STAGE_WEIGHTS = (1.0, 0.6, 0.8, 0.6)  # exact, stem, synonym, paraphrase (en)
 
 try:  # C++ aligner (csrc/native.cpp); Python fallback below is identical
     from mvc_tpu import _native as _native_mod
@@ -112,6 +126,98 @@ def _resolve_synonyms(
     if isinstance(synonyms, (str, os.PathLike)):
         return SynonymTable.load(str(synonyms))
     return SynonymTable(synonyms)
+
+
+class ParaphraseTable:
+    """Phrase <-> phrase paraphrase pairs for meteor-1.5's stage 4.
+
+    Built from an iterable of (phrase, phrase) string pairs or loaded from a
+    text file with one pair per line, ``phrase one ||| phrase two``
+    (tab-separated also accepted).  Pairs are symmetric and lowercased;
+    phrases are space-normalized word sequences.  Mirrors the jar's
+    ``-a paraphrase-en.gz`` capability (reference
+    pycocoevalcap/meteor/meteor.py:19-25) with a user-supplied table, like
+    the synonym stage — the original data is not redistributable here."""
+
+    def __init__(self, pairs):
+        self.partners: Dict[str, Set[str]] = {}
+        self.max_len = 1
+        for a, b in pairs:
+            a = " ".join(str(a).lower().split())
+            b = " ".join(str(b).lower().split())
+            if not a or not b or a == b:
+                continue
+            self.partners.setdefault(a, set()).add(b)
+            self.partners.setdefault(b, set()).add(a)
+            self.max_len = max(self.max_len, a.count(" ") + 1, b.count(" ") + 1)
+
+    @classmethod
+    def load(cls, path: str) -> "ParaphraseTable":
+        pairs = []
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                if "|||" in line:
+                    parts = [p.strip() for p in line.split("|||")]
+                elif "\t" in line:
+                    parts = [p.strip() for p in line.split("\t")]
+                else:
+                    continue
+                if len(parts) >= 2 and parts[0] and parts[1]:
+                    pairs.append((parts[0], parts[1]))
+        return cls(pairs)
+
+    def __len__(self) -> int:
+        return len(self.partners)
+
+
+def _resolve_paraphrases(
+    paraphrases: Union[None, str, ParaphraseTable, Sequence[Tuple[str, str]]]
+) -> Optional[ParaphraseTable]:
+    if paraphrases is None:
+        return None
+    if isinstance(paraphrases, ParaphraseTable):
+        return paraphrases
+    if isinstance(paraphrases, (str, os.PathLike)):
+        return ParaphraseTable.load(str(paraphrases))
+    return ParaphraseTable(paraphrases)
+
+
+class FunctionWords:
+    """User-supplied function-word list enabling the en task's delta=0.75
+    content/function weighting (one word per line, # comments allowed).
+    Without one, every word counts as content and delta cancels out."""
+
+    def __init__(self, words):
+        self.words: Set[str] = {str(w).lower() for w in words}
+
+    @classmethod
+    def load(cls, path: str) -> "FunctionWords":
+        out = []
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                w = line.strip().lower()
+                if w and not w.startswith("#"):
+                    out.append(w)
+        return cls(out)
+
+    def cf(self, word: str) -> float:
+        """delta for content words, 1-delta for function words."""
+        return (1.0 - DELTA) if word in self.words else DELTA
+
+    def __len__(self) -> int:
+        return len(self.words)
+
+
+def _resolve_function_words(
+    fw: Union[None, str, FunctionWords, Sequence[str]]
+) -> Optional[FunctionWords]:
+    if fw is None:
+        return None
+    if isinstance(fw, FunctionWords):
+        return fw
+    if isinstance(fw, (str, os.PathLike)):
+        return FunctionWords.load(str(fw))
+    return FunctionWords(fw)
 
 
 BEAM_WIDTH = 512   # meteor-1.5's Aligner uses 40; wider costs little here
@@ -199,6 +305,104 @@ def _align(
     return list(best[7])
 
 
+def _paraphrase_candidates(
+    hyp: Sequence[str], ref: Sequence[str], para: ParaphraseTable,
+    word_cand: List[List[Tuple[int, float]]],
+) -> List[List[Tuple[int, int, int, float]]]:
+    """Per hypothesis START position, the stage-4 span candidates
+    (hyp_len, ref_start, ref_len, weight).  Stage order holds: a 1x1 span
+    already matched by an earlier word stage (exact/stem/synonym) is NOT
+    re-proposed at paraphrase weight."""
+    w_para = STAGE_WEIGHTS[3]
+    ref_idx: Dict[str, List[Tuple[int, int]]] = {}
+    max_rl = min(para.max_len, len(ref))
+    for rl in range(1, max_rl + 1):
+        for rs in range(len(ref) - rl + 1):
+            ref_idx.setdefault(" ".join(ref[rs:rs + rl]), []).append((rs, rl))
+    out: List[List[Tuple[int, int, int, float]]] = []
+    for i in range(len(hyp)):
+        row: List[Tuple[int, int, int, float]] = []
+        taken = {j for j, _ in word_cand[i]}
+        for hl in range(1, min(para.max_len, len(hyp) - i) + 1):
+            partners = para.partners.get(" ".join(hyp[i:i + hl]))
+            if not partners:
+                continue
+            for partner in partners:
+                for rs, rl in ref_idx.get(partner, ()):
+                    if hl == 1 and rl == 1 and rs in taken:
+                        continue            # earlier word stage owns this pair
+                    row.append((hl, rs, rl, w_para))
+        out.append(row)
+    return out
+
+
+def _align_spans(
+    hyp: Sequence[str], ref: Sequence[str],
+    syn: Optional[SynonymTable] = None,
+    para: Optional[ParaphraseTable] = None,
+    beam: int = BEAM_WIDTH,
+) -> List[Tuple[int, int, int, int, float]]:
+    """Span-capable meteor-1.5 alignment search (stage 4 paraphrases): over
+    all one-to-one matchings of hypothesis spans to reference spans (word
+    stages propose 1x1 spans, the paraphrase stage multi-word spans), pick
+    the matching that lexicographically (1) maximizes covered words
+    (hyp + ref sides), (2) minimizes chunks, (3) minimizes summed
+    start-position distance, (4) maximizes summed stage weight (a span's
+    weight counts its mean covered words, so a 1x1 span contributes exactly
+    its word-stage weight).
+
+    Beam search over hypothesis positions with per-(used-ref-mask, last
+    match) dominance, like ``_align`` — which stays the word-only fast path
+    (identical results when ``para`` is None, asserted in
+    tests/test_meteor_alignment.py).
+
+    Returns [(hyp_start, hyp_len, ref_start, ref_len, stage_weight)].
+    """
+    n = len(hyp)
+    word_cand = _candidate_pairs(hyp, ref, syn)
+    cands: List[List[Tuple[int, int, int, float]]] = [
+        [(1, j, 1, w) for j, w in row] for row in word_cand
+    ]
+    if para is not None:
+        for i, row in enumerate(_paraphrase_candidates(hyp, ref, para, word_cand)):
+            cands[i].extend(row)
+
+    def rank(st):
+        # (covered desc, chunks asc, dist asc, weight desc) + deterministic
+        # score-irrelevant tiebreak keys, mirroring ``_align``/csrc rank
+        return (-(st[3] + st[4]), st[5], st[6], -st[7], st[0], st[1], st[2])
+
+    # state: (mask, last_h_end, last_r_end, mh, mr, chunks, dist, wsum, pairs)
+    buckets: List[Dict[Tuple[int, int, int], tuple]] = [dict() for _ in range(n + 1)]
+    buckets[0][(0, -2, -2)] = (0, -2, -2, 0, 0, 0, 0, 0.0, ())
+
+    def push(bucket, st):
+        key = (st[0], st[1], st[2])
+        cur = bucket.get(key)
+        if cur is None or rank(st) < rank(cur):
+            bucket[key] = st
+
+    for i in range(n):
+        live = sorted(buckets[i].values(), key=rank)[:beam]
+        buckets[i] = {}
+        for st in live:
+            mask, lh, lr, mh, mr, ch, ds, wt, pairs = st
+            push(buckets[i + 1], st)                 # leave hyp[i] unmatched
+            for hl, rs, rl, w in cands[i]:
+                span = ((1 << rl) - 1) << rs
+                if mask & span:
+                    continue
+                contig = lh == i - 1 and lr == rs - 1
+                push(buckets[i + hl], (
+                    mask | span, i + hl - 1, rs + rl - 1,
+                    mh + hl, mr + rl, ch + (0 if contig else 1),
+                    ds + abs(i - rs), wt + w * (hl + rl) / 2.0,
+                    pairs + ((i, hl, rs, rl, w),),
+                ))
+    best = min(buckets[n].values(), key=rank)
+    return list(best[8])
+
+
 def _count_chunks(matches: List[Tuple[int, int]]) -> int:
     """Number of maximal runs contiguous in both hypothesis and reference."""
     if not matches:
@@ -242,28 +446,110 @@ def _segment_stats(
     return weighted, len(matches), _count_chunks(matches), len(hyp), len(ref)
 
 
+def _segment_stats_ex(
+    hyp: Sequence[str], ref: Sequence[str],
+    syn: Optional[SynonymTable] = None,
+    para: Optional[ParaphraseTable] = None,
+    fw: Optional[FunctionWords] = None,
+):
+    """Extended stats (wh, wr, mh, mr, chunks, lhw, lrw, lh, lr):
+
+    wh/wr   — stage-weighted, cf-weighted matched word mass per side
+    mh/mr   — matched word counts per side (spans differ across sides)
+    chunks  — maximal runs contiguous in both sides
+    lhw/lrw — cf-weighted sentence lengths (plain lengths without ``fw``)
+    lh/lr   — plain word counts (full-cover detection)
+
+    Without paraphrases and function words this delegates to the word-level
+    fast path (C++ when available) and expands its 5-tuple — identical
+    scores to the stage-3 implementation."""
+    if para is None and fw is None:
+        weighted, m, chunks, lh, lr = _segment_stats(hyp, ref, syn)
+        return weighted, weighted, m, m, chunks, float(lh), float(lr), lh, lr
+    if (_native_usable() and len(ref) <= 64
+            and hasattr(_native_mod, "meteor_align_spans")):
+        word_cand = _candidate_pairs(hyp, ref, syn)
+        spans = (
+            [[(hl, rs, rl, w) for hl, rs, rl, w in row]
+             for row in _paraphrase_candidates(hyp, ref, para, word_cand)]
+            if para is not None else None
+        )
+        hyp_syn = [sorted(syn.ids(w)) for w in hyp] if syn is not None else None
+        ref_syn = [sorted(syn.ids(w)) for w in ref] if syn is not None else None
+        matches = _native_mod.meteor_align_spans(
+            list(hyp), list(ref),
+            [porter_stem(w) for w in hyp], [porter_stem(w) for w in ref],
+            STAGE_WEIGHTS[0], STAGE_WEIGHTS[1], hyp_syn, ref_syn,
+            STAGE_WEIGHTS[2], spans,
+        )
+    else:
+        matches = _align_spans(hyp, ref, syn, para)
+    cf = fw.cf if fw is not None else (lambda w: 1.0)
+    wh = wr = 0.0
+    mh = mr = 0
+    for hs, hl, rs, rl, w in matches:
+        wh += w * sum(cf(hyp[k]) for k in range(hs, hs + hl))
+        wr += w * sum(cf(ref[k]) for k in range(rs, rs + rl))
+        mh += hl
+        mr += rl
+    chunks = _count_span_chunks(matches)
+    lhw = sum(cf(w) for w in hyp)
+    lrw = sum(cf(w) for w in ref)
+    return wh, wr, mh, mr, chunks, lhw, lrw, len(hyp), len(ref)
+
+
+def _count_span_chunks(matches: List[Tuple[int, int, int, int, float]]) -> int:
+    """Chunks over span matches: a new chunk starts unless this span begins
+    exactly one past the previous span's end on BOTH sides."""
+    if not matches:
+        return 0
+    ms = sorted(matches)
+    chunks = 1
+    for (h0, hl0, r0, rl0, _), (h1, _, r1, _, _) in zip(ms, ms[1:]):
+        if not (h1 == h0 + hl0 and r1 == r0 + rl0):
+            chunks += 1
+    return chunks
+
+
 def _score_from_stats(weighted, m, chunks, lh, lr) -> float:
-    if m == 0 or lh == 0 or lr == 0:
+    return _score_from_stats_ex(weighted, weighted, m, m, chunks,
+                                float(lh), float(lr), lh, lr)
+
+
+def _score_from_stats_ex(wh, wr, mh, mr, chunks, lhw, lrw, lh, lr) -> float:
+    if mh == 0 or mr == 0 or lhw == 0 or lrw == 0:
         return 0.0
-    p = weighted / lh
-    r = weighted / lr
+    p = wh / lhw
+    r = wr / lrw
     if p == 0 or r == 0:
         return 0.0
     fmean = p * r / (ALPHA * p + (1 - ALPHA) * r)
-    pen = GAMMA * (chunks / m) ** BETA if m > 0 else 0.0
+    m_avg = (mh + mr) / 2.0
+    pen = GAMMA * (chunks / m_avg) ** BETA if m_avg > 0 else 0.0
     # Identical strings form a single chunk pair; the canonical tool zeroes
-    # the penalty when everything matches in one chunk.
-    if chunks == 1 and m == lh == lr:
+    # the penalty when everything matches in one chunk (full cover, both sides).
+    if chunks == 1 and mh == lh and mr == lr:
         pen = 0.0
     return (1.0 - pen) * fmean
 
 
 class Meteor:
-    def __init__(self, synonyms=None):
+    def __init__(self, synonyms=None, paraphrases=None, function_words=None):
         """``synonyms``: None, a SynonymTable, a path to a one-group-per-line
-        text file, or an iterable of word groups.  When set, enables the
-        meteor-1.5 synonym stage (stage 3, weight 0.8)."""
+        text file, or an iterable of word groups — enables the meteor-1.5
+        synonym stage (stage 3, weight 0.8).
+
+        ``paraphrases``: None, a ParaphraseTable, a path to a one-pair-per-
+        line file (``phrase one ||| phrase two``), or an iterable of phrase
+        pairs — enables the meteor-1.5 paraphrase stage (stage 4, weight
+        0.6, multi-word span matching).
+
+        ``function_words``: None, a FunctionWords, a path to a one-word-per-
+        line file, or an iterable of words — enables the en task's
+        delta=0.75 content/function word weighting of P and R."""
         self.synonyms = _resolve_synonyms(synonyms)
+        self.paraphrases = _resolve_paraphrases(paraphrases)
+        self.function_words = _resolve_function_words(function_words)
 
     def compute_score(self, gts: Dict[str, List[str]], res: Dict[str, List[str]]):
         assert sorted(gts.keys()) == sorted(res.keys())
@@ -271,20 +557,22 @@ class Meteor:
 
         ids = sorted(gts.keys())
         scores: List[float] = []
-        agg = [0.0, 0, 0, 0, 0]
+        agg = [0.0] * 9
         for img in ids:
             hyp = res[img][0].split()
-            best_score, best_stats = 0.0, (0.0, 0, 0, len(hyp), 0)
+            best_score = 0.0
+            best_stats = (0.0, 0.0, 0, 0, 0, float(len(hyp)), 0.0, len(hyp), 0)
             for ref_s in gts[img]:
                 ref = ref_s.split()
-                stats = _segment_stats(hyp, ref, self.synonyms)
-                s = _score_from_stats(*stats)
+                stats = _segment_stats_ex(
+                    hyp, ref, self.synonyms, self.paraphrases, self.function_words)
+                s = _score_from_stats_ex(*stats)
                 if s >= best_score:
                     best_score, best_stats = s, stats
             scores.append(best_score)
             agg = [a + b for a, b in zip(agg, best_stats)]
 
-        corpus = _score_from_stats(*agg)
+        corpus = _score_from_stats_ex(*agg)
         return corpus, np.array(scores)
 
     def method(self) -> str:

@@ -91,6 +91,8 @@ class Trainer:
         self._transfer_int8 = False
         self._device_prefetch = False
         self._meteor_synonyms = None
+        self._meteor_paraphrases = None
+        self._meteor_function_words = None
         self._saver = AsyncSaver()
 
     # ------------------------------------------------------------ jit builds
@@ -387,6 +389,8 @@ class Trainer:
             self._transfer_dtype = jnp.dtype(td)
         self._device_prefetch = bool(getattr(cfg, "device_prefetch", False))
         self._meteor_synonyms = getattr(cfg, "meteor_synonyms", None)
+        self._meteor_paraphrases = getattr(cfg, "meteor_paraphrases", None)
+        self._meteor_function_words = getattr(cfg, "meteor_function_words", None)
         self._optimizer = opt_lib.make_optimizer(cfg)
         self.lr_scheduler = opt_lib.PlateauScheduler(
             lr=cfg.lr, factor=cfg.lr_decay_gamma, patience=cfg.lr_decay_patience,
@@ -655,7 +659,9 @@ class Trainer:
 
         scores = None
         if get_scores:
-            scores = NLPScore(vid_gt, vid_gen, meteor_synonyms=self._meteor_synonyms)
+            scores = NLPScore(vid_gt, vid_gen, meteor_synonyms=self._meteor_synonyms,
+                              meteor_paraphrases=self._meteor_paraphrases,
+                              meteor_function_words=self._meteor_function_words)
             # The reference logs exactly Bleu_1..4/ROUGE_L/CIDEr
             # (src/train.py:340-345); METEOR is computed by NLPScore either
             # way, so we additionally expose it as a scalar.

@@ -73,6 +73,12 @@ def main():
     parser.add_argument("--meteor_synonyms", default=None,
                         help="path to a synonym table (one whitespace-separated group "
                              "per line) enabling METEOR's stage-3 matcher")
+    parser.add_argument("--meteor_paraphrases", default=None,
+                        help="path to a paraphrase table (one 'phrase ||| phrase' pair "
+                             "per line) enabling METEOR's stage-4 span matcher")
+    parser.add_argument("--meteor_function_words", default=None,
+                        help="path to a function-word list (one word per line) enabling "
+                             "METEOR's en-task delta=0.75 content/function weighting")
     parser.add_argument("--eval_mode", default="direct", choices=["direct", "beam"],
                         help="fit-time eval decoding (reference uses direct, "
                              "src/train.py:323-325; beam uses width 5)")
@@ -147,6 +153,8 @@ def main():
         cfg.compute_dtype = args.dtype
         cfg.device_feature_cache = args.device_feature_cache
         cfg.meteor_synonyms = args.meteor_synonyms
+        cfg.meteor_paraphrases = args.meteor_paraphrases
+        cfg.meteor_function_words = args.meteor_function_words
         cfg.eval_mode = args.eval_mode
         video_only = exp.get("video_only", False)
 
