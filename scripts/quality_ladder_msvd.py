@@ -1,0 +1,430 @@
+#!/usr/bin/env python
+"""MSVD-scale quality ladder (VERDICT r4 item 3): two-framework training
+agreement at the reference's data scale and trainer config.
+
+Corpus (synthetic, learnable, MSVD-shaped — reference src/train.py:16-32 and
+the MSVD statistics it trains on):
+  ~2,000 clips (100 classes x 18 train + 2 val clips), ~40 captions/clip,
+  vocabulary ~4k words, per-clip frame counts 8..30 (bucketed), dual
+  modalities with class-signature features.
+Config: the reference TrainerConfig — batch 128, 50 epochs, lr 1e-4,
+Adam(amsgrad, wd=1e-5), value-clip 5.0, teacher forcing 1.0, sweep lambdas
+(reg 0.0005, visual 0.5, audio 0.00005 — reference src/train.py:407-467).
+
+Model: the dual family at reduced width (H=64, E=32, A=32, feature dims
+128/32) — the reference's H=512/F=2048 on this container's single CPU core
+would need days per cell; width is NOT part of the r4 ask (corpus shape +
+trainer config are), and both frameworks run the IDENTICAL reduced model
+from identical converted init weights, so the comparison stays two-sided.
+
+Scored columns per cell: ours greedy, ours BEAM (width 5 — the reference's
+dual beam is an unimplemented FIXME upstream, src/models/captioning.py:
+269-277, so the beam column is one-sided by construction), reference
+greedy; each framework's OWN scorer stack.  Results stream to the output
+file cell by cell.
+
+Usage:
+  python scripts/quality_ladder_msvd.py [--cells 3|6] [--epochs 50]
+        [--dry_run] [--out QUALITY_LADDER.md (appends v2 section)]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+for p in (REPO, SCRIPTS):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+import numpy as np
+
+from quality_ladder import (  # noqa: E402  (sibling script as a module)
+    _batches,
+    _our_scores,
+    _ref_scores,
+    _reference_imports,
+    eval_reference,
+    train_reference,
+)
+
+# ---------------------------------------------------------------- corpus
+N_CLASSES = 100
+TRAIN_PER_CLASS, VAL_PER_CLASS = 18, 2          # 2,000 clips total
+CAPS_PER_CLIP = 40
+A_DIM, V_DIM = 32, 128
+T_MIN, T_MAX = 8, 30
+FRAME_BUCKETS = (8, 16, 24, 30)
+CAPTION_BUCKETS = (14,)
+BATCH = 128
+
+H, E, A = 64, 32, 32                             # reduced width (see header)
+
+SUBJECTS = ["man", "woman", "dog", "cat", "boy", "girl", "chef", "player",
+            "horse", "bird", "monkey", "baby", "lady", "runner", "dancer",
+            "singer", "farmer", "driver", "teacher", "clown"]
+VERBS = ["plays", "cooks", "runs", "sits", "rides", "kicks", "cuts", "sings",
+         "walks", "dances", "throws", "eats", "drinks", "jumps", "climbs",
+         "paints", "washes", "drives", "reads", "catches"]
+OBJECTS = ["guitar", "food", "field", "couch", "bike", "ball", "vegetables",
+           "song", "beach", "party", "stick", "apple", "water", "fence",
+           "tree", "picture", "car", "dish", "book", "frisbee"]
+
+
+def _word_pool(prefix: str, n: int):
+    return [f"{prefix}{i:04d}" for i in range(n)]
+
+
+ADJS = _word_pool("adj", 1900)
+ADVS = _word_pool("adv", 1900)
+
+
+def build_corpus(root: str, seed: int = 23) -> None:
+    import pandas as pd
+
+    from mvc_tpu.data.vocabulary import Vocabulary
+
+    gen = np.random.default_rng(seed)
+    os.makedirs(f"{root}/metadata", exist_ok=True)
+    os.makedirs(f"{root}/features/video", exist_ok=True)
+    os.makedirs(f"{root}/features/audio", exist_ok=True)
+    v_sig = gen.normal(size=(N_CLASSES, V_DIM)).astype(np.float32) * 2.0
+    a_sig = gen.normal(size=(N_CLASSES, A_DIM)).astype(np.float32) * 2.0
+    cores = [(SUBJECTS[gen.integers(len(SUBJECTS))],
+              VERBS[gen.integers(len(VERBS))],
+              OBJECTS[gen.integers(len(OBJECTS))]) for _ in range(N_CLASSES)]
+
+    def caption(cls):
+        s, v, o = cores[cls]
+        r = gen.random()
+        if r < 0.5:
+            return f"a {s} {v} the {o}"
+        if r < 0.75:
+            return f"a {ADJS[gen.integers(len(ADJS))]} {s} {v} the {o}"
+        return f"a {s} {v} the {o} {ADVS[gen.integers(len(ADVS))]}"
+
+    rows = {"train": [], "val": [], "test": []}
+    vid = 0
+    for cls in range(N_CLASSES):
+        for split, n in (("train", TRAIN_PER_CLASS), ("val", VAL_PER_CLASS)):
+            for _ in range(n):
+                name = f"vid{vid:04d}_0_10"
+                T = int(gen.integers(T_MIN, T_MAX + 1))
+                vf = v_sig[cls][None, :] + 0.3 * gen.normal(size=(T, V_DIM))
+                af = a_sig[cls][None, :] + 0.3 * gen.normal(size=(T, A_DIM))
+                np.save(f"{root}/features/video/{name}.npy", vf.astype(np.float32))
+                np.save(f"{root}/features/audio/{name}.npy", af.astype(np.float32))
+                for _c in range(CAPS_PER_CLIP):
+                    rows[split].append({
+                        "VideoID": f"vid{vid:04d}", "Start": 0, "End": 10,
+                        "Source": "clean", "Description": caption(cls),
+                    })
+                vid += 1
+    rows["test"] = rows["val"]
+    for split in ("train", "val", "test"):
+        pd.DataFrame(rows[split]).to_csv(f"{root}/metadata/{split}.csv", index=False)
+    Vocabulary.prebuild(
+        [r["Description"] for r in rows["train"] + rows["val"]],
+        f"{root}/metadata/vocab.json", freq_threshold=1,
+    )
+
+
+def _ref_model(ref_cap, vocab, rec_type, seed=0):
+    import torch
+
+    small_v = dict(ref_cap.VISUAL_DECODER_CONFIG, in_feature_size=V_DIM,
+                   rnn_hidden_size=H, embedding_size=E, attn_size=A)
+    small_a = dict(ref_cap.AUDIO_DECODER_CONFIG, in_feature_size=A_DIM,
+                   rnn_hidden_size=H, embedding_size=E, attn_size=A)
+    old = ref_cap.VISUAL_DECODER_CONFIG, ref_cap.AUDIO_DECODER_CONFIG
+    ref_cap.VISUAL_DECODER_CONFIG, ref_cap.AUDIO_DECODER_CONFIG = small_v, small_a
+    try:
+        torch.manual_seed(seed)
+        return ref_cap.AVCaptioningDual(
+            vocab=vocab, teacher_forcing_ratio=1.0,
+            reconstructor_type=rec_type, device="cpu",
+        )
+    finally:
+        ref_cap.VISUAL_DECODER_CONFIG, ref_cap.AUDIO_DECODER_CONFIG = old
+
+
+def train_ours(model, init_params, loader, lambdas, epochs, lr,
+               log=lambda *a: None):
+    """The PRODUCTION train step (Trainer._build_train_step: fused
+    chunked-vocab loss, hoisted scans, recon custom-vjp) at fixed lr."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvc_tpu.config import TrainerConfig
+    from mvc_tpu.training import optimizer as opt_lib
+    from mvc_tpu.training.trainer import Trainer
+
+    cfg = TrainerConfig(batch_size=BATCH, lr=lr, weight_decay=1e-5,
+                        reg_lambda=lambdas["reg_lambda"],
+                        audio_recon_lambda=lambdas["audio_recon_lambda"],
+                        visual_recon_lambda=lambdas["visual_recon_lambda"])
+    tr = Trainer("ladder", log_dir=None)
+    tr._optimizer = opt_lib.make_optimizer(cfg)
+    train_step, _ = tr._build_train_step(model, cfg)
+    params = jax.tree.map(jnp.asarray, init_params)
+    opt_state = tr._optimizer.init(params)
+    rng = jax.random.PRNGKey(0)
+    for ep in range(epochs):
+        t0 = time.time()
+        for b in loader:
+            batch = {k: jnp.asarray(v) for k, v in b.items()
+                     if isinstance(v, np.ndarray)}
+            params, opt_state, _m = train_step(params, opt_state, batch, rng)
+        log(f"    ours epoch {ep + 1}/{epochs}: {time.time() - t0:.1f}s")
+    return params
+
+
+def eval_ours(model, params, vidcap_loader, vocab, max_len=16, mode="direct"):
+    import jax
+    import jax.numpy as jnp
+
+    from mvc_tpu.models.captioning import captions_from_tokens
+
+    predict = jax.jit(lambda p, a, v: model.predict_tokens(
+        p, a, v, max_caption_len=max_len, mode=mode, beam_width=5))
+    gts, res = {}, {}
+    for batch in vidcap_loader:
+        tokens = predict(params, jnp.asarray(batch["audio"]),
+                         jnp.asarray(batch["visual"]))
+        caps = captions_from_tokens(vocab, np.asarray(tokens))
+        for vid, gen, gt, real in zip(
+                batch["video_ids"], caps, batch["captions"],
+                batch.get("sample_mask", [True] * len(caps))):
+            if not real:
+                continue
+            gts[vid] = list(gt)
+            res[vid] = [gen]
+    return _our_scores(gts, res), res
+
+
+METRICS = ("CIDEr", "BLEU_4", "ROUGE_L")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    # Default 10, not the reference's 50: the reference's eager torch step
+    # measures 633 ms at this corpus/config on this single-CPU container
+    # (threads=1; torch.compile is 6x SLOWER here — word-loop recompiles), so
+    # 50 epochs = 5 h per cell per side.  Batch/lr/optimizer/clip and the
+    # corpus scale are exact; pass --epochs 50 on a real host.
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--cells", type=int, default=3, choices=(3, 6),
+                    help="3 = dual-modality x reconstructor (the production "
+                         "family); 6 adds the video-only row")
+    ap.add_argument("--root", default="/tmp/quality_ladder_msvd/MSVD")
+    ap.add_argument("--out", default=os.path.join(REPO, "QUALITY_LADDER.md"))
+    ap.add_argument("--state", default="/tmp/quality_ladder_msvd/results.json")
+    ap.add_argument("--tolerance", type=float, default=0.35)
+    ap.add_argument("--dry_run", action="store_true",
+                    help="time ~20 train steps per side and exit")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+
+    torch.set_num_threads(1)   # 1-core container: extra threads measured slower
+
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.data import get_loader
+    from mvc_tpu.data.dataset import video_dataset_to_video_captions_loader
+    from mvc_tpu.data.vocabulary import Vocabulary
+    from mvc_tpu.models.captioning import AVCaptioningDual
+    from mvc_tpu.utils.checkpoint_convert import (
+        convert_decoder_state_dict, convert_reconstructor_state_dict,
+    )
+
+    if not os.path.isdir(args.root):
+        print("building corpus ...", flush=True)
+        build_corpus(args.root)
+    vocab = Vocabulary.load(f"{args.root}/metadata/vocab.json")
+    print(f"vocab size: {len(vocab)}", flush=True)
+    ref_cap = _reference_imports()
+
+    def loaders(video_only):
+        train_loader, _ = get_loader(
+            root_dir=args.root, dataset="MSVD", split="train", batch_size=BATCH,
+            shuffle=False, verbose=False, video_only=video_only,
+            vocab_path=f"{args.root}/metadata/vocab.json",
+            frame_buckets=FRAME_BUCKETS, caption_buckets=CAPTION_BUCKETS,
+        )
+        _, val_ds = get_loader(
+            root_dir=args.root, dataset="MSVD", split="val", batch_size=BATCH,
+            shuffle=False, verbose=False, video_only=video_only,
+            vocab_path=f"{args.root}/metadata/vocab.json",
+            frame_buckets=FRAME_BUCKETS, caption_buckets=CAPTION_BUCKETS,
+        )
+        vidcap = video_dataset_to_video_captions_loader(
+            val_ds, BATCH, frame_buckets=FRAME_BUCKETS)
+        return train_loader, vidcap
+
+    sweep = []
+    for video_only, tag in ((False, "video_audio"), (True, "video")):
+        for rec in ("none", "local", "global"):
+            sweep.append((tag, video_only, rec,
+                          dict(reg_lambda=0.0005,
+                               audio_recon_lambda=0.0 if video_only else 0.00005,
+                               visual_recon_lambda=0.5)))
+    sweep = sweep[: args.cells]
+
+    if args.dry_run:
+        import torch
+
+        tag, video_only, rec, lambdas = sweep[0]
+        train_loader, _ = loaders(video_only)
+        ref = _ref_model(ref_cap, vocab, rec)
+        from losses import ModalityWiseReconstructionLossBuilder as RefBuilder
+
+        loss_fn = RefBuilder(rec_type=rec or "none", **lambdas)
+        opt = torch.optim.Adam(ref.parameters(), lr=1e-4, weight_decay=1e-5,
+                               amsgrad=True)
+        n, t0 = 0, time.time()
+        for audio, visual, captions, _ in _batches(train_loader):
+            opt.zero_grad()
+            outputs, a_rec, v_rec = ref(audio, visual, captions)
+            loss, *_ = loss_fn(outputs, captions, audio, a_rec, visual, v_rec)
+            loss.mean().backward()
+            opt.step()
+            n += 1
+            if n >= 20:
+                break
+        ref_ms = (time.time() - t0) / n * 1e3
+        steps_per_epoch = len(train_loader)
+        print(json.dumps({
+            "ref_ms_per_step": round(ref_ms, 1),
+            "steps_per_epoch": steps_per_epoch,
+            "ref_hours_per_cell": round(
+                ref_ms / 1e3 * steps_per_epoch * args.epochs / 3600, 2),
+        }), flush=True)
+        return
+
+    state = {}
+    if os.path.exists(args.state):
+        state = json.load(open(args.state))
+
+    def write_out():
+        lines = [
+            "",
+            "## v2 — MSVD-scale corpus, reference trainer config "
+            "(VERDICT r4 item 3)",
+            "",
+            f"Corpus: {N_CLASSES} classes x {TRAIN_PER_CLASS} train + "
+            f"{VAL_PER_CLASS} val clips (~2,000 clips), {CAPS_PER_CLIP} "
+            f"captions/clip, vocab {len(vocab)}, frames {T_MIN}..{T_MAX} "
+            f"(buckets {FRAME_BUCKETS}); config batch {BATCH}, "
+            f"{args.epochs} epochs (the reference's 50-epoch setting is 5 h "
+            "per cell per side on this 1-CPU container — measured 633 ms "
+            "per eager-torch step; batch/lr/optimizer/clip are exact), "
+            "lr 1e-4, Adam(amsgrad, wd 1e-5), "
+            "clip 5.0 (reference src/train.py:16-32).  Both frameworks run "
+            f"the identical reduced-width model (H={H}, E={E}, A={A} — full "
+            "width is intractable on this 1-CPU container; see script "
+            "header) from identical converted init weights.  Ours trains "
+            "through the PRODUCTION step (fused chunked-vocab loss + "
+            "custom-vjp recon scan).  The beam column is ours-only: the "
+            "reference's dual beam is an unimplemented FIXME upstream "
+            "(src/models/captioning.py:269-277).",
+            "",
+            "| modality | reconstructor | "
+            + " | ".join(f"ours {m} | ref {m}" for m in METRICS)
+            + " | ours CIDEr (beam) | identical captions |",
+            "|" + "---|" * (2 + 2 * len(METRICS) + 2),
+        ]
+        for key, cell in state.items():
+            tag, rec = key.split("/")
+            o, r = cell["ours"], cell["ref"]
+            cells_txt = " | ".join(f"{o[m]:.3f} | {r[m]:.3f}" for m in METRICS)
+            lines.append(
+                f"| {tag} | {rec} | {cells_txt} | {cell['ours_beam']['CIDEr']:.3f} "
+                f"| {cell['agree']:.2f} |")
+        if len(state) >= 2:
+            cells = list(state.values())
+            max_diff = {m: max(abs(c["ours"][m] - c["ref"][m]) for c in cells)
+                        for m in METRICS}
+            oo = np.argsort([c["ours"]["CIDEr"] for c in cells])
+            ro = np.argsort([c["ref"]["CIDEr"] for c in cells])
+            lines += [
+                "",
+                "Max per-cell |ours - ref|: " + ", ".join(
+                    f"{m} {max_diff[m]:.3f}" for m in METRICS)
+                + f" (CIDEr tolerance {args.tolerance})",
+                f"CIDEr ordering agreement across {len(cells)} cells: "
+                f"{float((oo == ro).mean()):.2f} (argsort positions equal)",
+            ]
+        base = open(args.out).read() if os.path.exists(args.out) else ""
+        marker = "\n## v2 — MSVD-scale corpus"
+        if marker in base:
+            base = base[: base.index(marker)]
+        with open(args.out, "w") as f:
+            f.write(base.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
+
+    for tag, video_only, rec, lambdas in sweep:
+        key = f"{tag}/{rec}"
+        if key in state:
+            print(f"=== {key} (cached) ===", flush=True)
+            continue
+        print(f"=== {key} ===", flush=True)
+        t_cell = time.time()
+        ref = _ref_model(ref_cap, vocab, rec)
+        init = {
+            "v_decoder": convert_decoder_state_dict(ref.v_decoder.state_dict()),
+            "a_decoder": convert_decoder_state_dict(ref.a_decoder.state_dict()),
+            "v_reconstructor": convert_reconstructor_state_dict(
+                ref.v_reconstructor.state_dict() if ref.v_reconstructor else None),
+            "a_reconstructor": convert_reconstructor_state_dict(
+                ref.a_reconstructor.state_dict() if ref.a_reconstructor else None),
+        }
+        ours = AVCaptioningDual(
+            vocab_size=len(vocab), teacher_forcing_ratio=1.0,
+            reconstructor_type=rec,
+            visual_decoder_config=DecoderConfig(
+                in_feature_size=V_DIM, rnn_hidden_size=H,
+                embedding_size=E, attn_size=A),
+            audio_decoder_config=DecoderConfig(
+                in_feature_size=A_DIM, rnn_hidden_size=H,
+                embedding_size=E, attn_size=A),
+        )
+
+        train_loader, vidcap = loaders(video_only)
+        params = train_ours(ours, init, train_loader, lambdas, args.epochs,
+                            lr=1e-4, log=lambda s: print(s, flush=True))
+        our_scores, our_res = eval_ours(ours, params, vidcap, vocab)
+        our_beam, _ = eval_ours(ours, params, vidcap, vocab, mode="beam")
+        print(f"  ours done ({time.time() - t_cell:.0f}s): {our_scores} "
+              f"beam CIDEr {our_beam['CIDEr']:.3f}", flush=True)
+
+        t_ref = time.time()
+        train_loader, vidcap = loaders(video_only)
+        train_reference(ref, train_loader, lambdas, args.epochs, lr=1e-4)
+        ref_scores, ref_res = eval_reference(ref, vidcap)
+        print(f"  ref done ({time.time() - t_ref:.0f}s): {ref_scores}", flush=True)
+
+        agree = float(np.mean([our_res[k] == ref_res[k] for k in our_res]))
+        state[key] = {"ours": our_scores, "ours_beam": our_beam,
+                      "ref": ref_scores, "agree": agree}
+        os.makedirs(os.path.dirname(args.state), exist_ok=True)
+        json.dump(state, open(args.state, "w"), indent=1)
+        write_out()
+        print(f"  cell wall: {(time.time() - t_cell) / 60:.1f} min", flush=True)
+
+    write_out()
+    cells = list(state.values())
+    if cells:
+        worst = max(abs(c["ours"]["CIDEr"] - c["ref"]["CIDEr"]) for c in cells)
+        print(f"max CIDEr divergence: {worst:.3f} (tolerance {args.tolerance})")
+        assert worst <= args.tolerance
+
+
+if __name__ == "__main__":
+    main()
