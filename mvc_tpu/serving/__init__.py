@@ -10,6 +10,13 @@ be static under jit), and answers each request with the caption text.
 """
 
 from mvc_tpu.serving.http import make_http_server
-from mvc_tpu.serving.service import CaptionService, ServiceConfig
+from mvc_tpu.serving.router import CaptionRouter
+from mvc_tpu.serving.service import (
+    CaptionService,
+    DeadlineExceeded,
+    ServiceConfig,
+    ServiceOverloaded,
+)
 
-__all__ = ["CaptionService", "ServiceConfig", "make_http_server"]
+__all__ = ["CaptionService", "CaptionRouter", "ServiceConfig",
+           "ServiceOverloaded", "DeadlineExceeded", "make_http_server"]

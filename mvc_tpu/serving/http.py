@@ -2,9 +2,12 @@
 
 Endpoints (JSON in/out):
 
-- ``POST /caption`` — body ``{"visual": [[...], ...], "audio": [[...], ...]?}``
-  (``[T, D]`` row lists; audio optional for video-only traffic).  Replies
-  ``{"caption": "...", "latency_ms": N}``.
+- ``POST /caption`` — body ``{"visual": [[...], ...], "audio": [[...], ...]?,
+  "model": "name"?, "priority": 0?, "deadline_ms": N?}``
+  (``[T, D]`` row lists; audio optional for video-only traffic; ``model``
+  routes when the server wraps a CaptionRouter; priority/deadline feed the
+  service's overload policy — shed requests answer 503, expired deadlines
+  504).  Replies ``{"caption": "...", "latency_ms": N}``.
 - ``POST /caption_batch`` — body ``{"items": [<same as /caption>, ...]}``;
   all items are submitted before any result is awaited, so a client-side
   batch rides one (or few) device batches.  Replies ``{"captions": [...]}``.
@@ -41,9 +44,26 @@ def _parse_item(item: dict) -> Tuple[np.ndarray, Optional[np.ndarray]]:
 def make_http_server(service, host: str = "127.0.0.1", port: int = 8000) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``.serve_forever()`` to run.
 
-    Port 0 binds an ephemeral port (``server.server_address[1]`` has it) —
-    used by tests/test_serving.py.
+    ``service`` is a CaptionService or a CaptionRouter (multi-model: request
+    bodies pick the model with ``"model"``).  Port 0 binds an ephemeral port
+    (``server.server_address[1]`` has it) — used by tests/test_serving.py.
     """
+    from mvc_tpu.serving.router import CaptionRouter
+    from mvc_tpu.serving.service import DeadlineExceeded, ServiceOverloaded
+
+    routed = isinstance(service, CaptionRouter)
+
+    def _submit_kwargs(body: dict) -> dict:
+        kw = {}
+        if routed:
+            kw["model"] = body.get("model")
+        elif body.get("model") not in (None, ""):
+            raise ValueError("this server hosts a single model; no 'model' routing")
+        if body.get("priority") is not None:
+            kw["priority"] = int(body["priority"])
+        if body.get("deadline_ms") is not None:
+            kw["deadline_ms"] = float(body["deadline_ms"])
+        return kw
 
     class Handler(BaseHTTPRequestHandler):
         # quiet by default: per-request stderr lines are useless at qps
@@ -79,7 +99,8 @@ def make_http_server(service, host: str = "127.0.0.1", port: int = 8000) -> Thre
                 if self.path == "/caption":
                     t0 = time.perf_counter()
                     visual, audio = _parse_item(body)
-                    caption = service.submit(visual, audio).result()
+                    caption = service.submit(visual, audio,
+                                             **_submit_kwargs(body)).result()
                     self._reply(200, {
                         "caption": caption,
                         "latency_ms": 1e3 * (time.perf_counter() - t0),
@@ -89,14 +110,21 @@ def make_http_server(service, host: str = "127.0.0.1", port: int = 8000) -> Thre
                     if not isinstance(items, list) or not items:
                         raise ValueError("'items' must be a non-empty list")
                     parsed = [_parse_item(it) for it in items]
+                    kw = _submit_kwargs(body)
                     # submit everything before awaiting anything: the whole
                     # client batch lands inside one batching window
-                    futures = [service.submit(v, a) for v, a in parsed]
+                    futures = [service.submit(v, a, **kw) for v, a in parsed]
                     self._reply(200, {"captions": [f.result() for f in futures]})
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
+            except ServiceOverloaded as e:
+                self._reply(503, {"error": str(e)})
+            except KeyError as e:
+                self._reply(404, {"error": str(e)})
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
+            except DeadlineExceeded as e:
+                self._reply(504, {"error": str(e)})
             except Exception as e:  # model/device failure -> 500, keep serving
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 

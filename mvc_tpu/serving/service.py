@@ -74,19 +74,42 @@ class ServiceConfig:
     #            quantization (data/feature_cache.quantize_int8, <=1/127
     #            relative error; dequantized on device inside the jit)
     transfer: str = "f32"
+    # Overload policy (None = unbounded queue, never sheds — the pre-round-5
+    # behavior).  With a bound, an arriving request either gets a slot, gets
+    # one by EVICTING the worst queued request (strictly lower priority —
+    # larger number — then youngest; the victim's future fails with
+    # ServiceOverloaded), or is rejected with ServiceOverloaded.
+    max_queue: Optional[int] = None
+
+
+_SHUTDOWN = object()   # completion-queue sentinel
+
+
+class ServiceOverloaded(RuntimeError):
+    """Raised to the shed party when the bounded queue is full (HTTP 503)."""
+
+
+class DeadlineExceeded(RuntimeError):
+    """A request's deadline_ms elapsed before it reached a device batch
+    (HTTP 504); it is dropped at collection time, not launched."""
 
 
 class _Request:
-    __slots__ = ("audio", "visual", "future", "t_submit")
+    __slots__ = ("audio", "visual", "future", "t_submit", "priority", "seq",
+                 "deadline")
 
-    def __init__(self, audio: np.ndarray, visual: np.ndarray):
+    def __init__(self, audio: np.ndarray, visual: np.ndarray,
+                 priority: int = 0, seq: int = 0,
+                 deadline_ms: Optional[float] = None):
         self.audio = audio
         self.visual = visual
         self.future: Future = Future()
         self.t_submit = time.perf_counter()
-
-
-_SHUTDOWN = object()
+        self.priority = int(priority)
+        self.seq = seq
+        self.deadline = (
+            self.t_submit + deadline_ms / 1e3 if deadline_ms is not None else None
+        )
 
 
 class CaptionService:
@@ -125,7 +148,14 @@ class CaptionService:
             self._batch_sharding = batch_sharding(mesh)
             self.params = jax.device_put(params, param_shardings(mesh, params))
 
-        self._queue: "queue.Queue" = queue.Queue()
+        # priority queue: a plain list + condition (sizes are small — the
+        # bound is the point); best = min (priority, seq), victim = max
+        self._pending: List[_Request] = []
+        self._qcond = threading.Condition()
+        self._seq = 0
+        self._shutdown = False
+        self._n_shed = 0
+        self._n_expired = 0
         self._predict_by_tpad: Dict[int, object] = {}
         self._lock = threading.Lock()
         self._latencies = collections.deque(maxlen=self.config.latency_window)
@@ -150,12 +180,21 @@ class CaptionService:
 
     # ------------------------------------------------------------- client API
 
-    def submit(self, visual: np.ndarray, audio: Optional[np.ndarray] = None) -> Future:
+    def submit(self, visual: np.ndarray, audio: Optional[np.ndarray] = None,
+               priority: int = 0,
+               deadline_ms: Optional[float] = None) -> Future:
         """Enqueue one clip's features; resolves to the caption string.
 
         ``visual`` is ``[T, visual_dim]``; ``audio`` is ``[T, audio_dim]`` or
         None for video-only traffic (zero-filled, matching the dataset's
         ``video_only`` contract, reference src/get_loader.py:243-246).
+
+        ``priority``: smaller = more urgent; batches are filled in priority
+        (then arrival) order.  ``deadline_ms``: drop the request (future
+        fails with DeadlineExceeded) if it hasn't reached a device batch
+        within this budget.  Under a full bounded queue (cfg.max_queue) the
+        arriving request either evicts a strictly-lower-priority victim or
+        raises ServiceOverloaded.
         """
         if self._closed:
             raise RuntimeError("service is closed")
@@ -175,8 +214,37 @@ class CaptionService:
                 raise ValueError(
                     f"audio must be [T={t}, {self.config.audio_dim}], got {audio.shape}"
                 )
-        req = _Request(audio, visual)
-        self._queue.put(req)
+        victim = None
+        with self._qcond:
+            self._seq += 1
+            req = _Request(audio, visual, priority=priority, seq=self._seq,
+                           deadline_ms=deadline_ms)
+            bound = self.config.max_queue
+            if bound is not None and len(self._pending) >= bound:
+                # victim = lowest priority class (largest number), youngest
+                # within it (largest seq) — LIFO shedding preserves FIFO
+                # fairness for the work that stays
+                worst = (max(self._pending, key=lambda r: (r.priority, r.seq))
+                         if self._pending else None)
+                if worst is not None and worst.priority > req.priority:
+                    self._pending.remove(worst)
+                    victim = worst
+                else:
+                    with self._lock:
+                        self._n_shed += 1
+                    raise ServiceOverloaded(
+                        f"queue full ({bound}) and no lower-priority victim "
+                        f"(incoming priority {req.priority})"
+                    )
+            self._pending.append(req)
+            self._qcond.notify()
+        if victim is not None:
+            with self._lock:
+                self._n_shed += 1
+            victim.future.set_exception(ServiceOverloaded(
+                f"evicted by a priority-{req.priority} arrival "
+                f"(own priority {victim.priority})"
+            ))
         return req.future
 
     def caption(self, visual: np.ndarray, audio: Optional[np.ndarray] = None,
@@ -227,7 +295,9 @@ class CaptionService:
             "latency_ms_p99": pct(0.99),
             "requests_per_s": n_requests / elapsed if elapsed > 0 else None,
             "compiled_t_pads": sorted(self._predict_by_tpad),
-            "queue_depth": self._queue.qsize(),
+            "queue_depth": len(self._pending),
+            "shed": self._n_shed,
+            "deadline_expired": self._n_expired,
             "mode": self.config.mode,
             "max_batch": self.config.max_batch,
             "transfer": self.config.transfer,
@@ -237,7 +307,9 @@ class CaptionService:
         if self._closed:
             return
         self._closed = True
-        self._queue.put(_SHUTDOWN)
+        with self._qcond:
+            self._shutdown = True
+            self._qcond.notify_all()
         self._worker.join()
         self._completions.put(_SHUTDOWN)
         self._completer.join()
@@ -297,25 +369,49 @@ class CaptionService:
             self._predict_by_tpad[t_pad] = fn
         return fn
 
+    def _pop_best_locked(self) -> Optional[_Request]:
+        """Highest-priority (then oldest) live request; expired ones are
+        failed with DeadlineExceeded and skipped.  Caller holds _qcond."""
+        now = time.perf_counter()
+        while self._pending:
+            best = min(self._pending, key=lambda r: (r.priority, r.seq))
+            self._pending.remove(best)
+            if best.deadline is not None and now > best.deadline:
+                with self._lock:
+                    self._n_expired += 1
+                best.future.set_exception(DeadlineExceeded(
+                    f"deadline elapsed after "
+                    f"{1e3 * (now - best.t_submit):.1f} ms in queue"))
+                continue
+            return best
+        return None
+
     def _collect(self) -> Optional[List[_Request]]:
-        """Block for the first request, then window for more."""
-        first = self._queue.get()
-        if first is _SHUTDOWN:
-            return None
+        """Block for the first request, then window for more — filled in
+        priority (then arrival) order."""
+        with self._qcond:
+            while True:
+                first = self._pop_best_locked()
+                if first is not None:
+                    break
+                if self._shutdown:
+                    return None
+                self._qcond.wait()
         batch = [first]
         deadline = time.perf_counter() + self.config.max_wait_ms / 1e3
         while len(batch) < self.config.max_batch:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
                 break
-            try:
-                nxt = self._queue.get(timeout=remaining)
-            except queue.Empty:
-                break
-            if nxt is _SHUTDOWN:
-                # re-post so the loop exits after this batch completes
-                self._queue.put(_SHUTDOWN)
-                break
+            with self._qcond:
+                nxt = self._pop_best_locked()
+                if nxt is None:
+                    if self._shutdown:
+                        break
+                    self._qcond.wait(timeout=remaining)
+                    nxt = self._pop_best_locked()
+            if nxt is None:
+                continue
             batch.append(nxt)
         return batch
 

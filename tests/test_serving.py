@@ -324,3 +324,184 @@ def test_http_server_roundtrip(tiny, rng):
         finally:
             server.shutdown()
             server.server_close()
+
+
+# ---------------------------------------------------------------- overload
+# (round 5: priority classes, bounded-queue eviction, deadlines, routing)
+
+def _blocked_service(monkeypatch, tiny, **cfg_kw):
+    """Service whose _launch blocks on an Event — requests pile up in the
+    priority queue deterministically."""
+    import threading as th
+
+    from mvc_tpu.serving import service as service_mod
+
+    model, params, vocab = tiny
+    gate = th.Event()
+    real_launch = service_mod.CaptionService._launch
+
+    def gated(self, batch):
+        gate.wait(timeout=120)
+        return real_launch(self, batch)
+
+    monkeypatch.setattr(service_mod.CaptionService, "_launch", gated)
+    cfg = ServiceConfig(max_batch=1, max_wait_ms=1.0, frame_buckets=BUCKETS,
+                        max_caption_len=5, audio_dim=A_DIM, visual_dim=V_DIM,
+                        pipeline_depth=1, **cfg_kw)
+    svc = CaptionService(model, params, vocab, cfg)
+    return svc, gate
+
+
+def test_priority_order_and_eviction(monkeypatch, tiny, rng):
+    from mvc_tpu.serving import ServiceOverloaded
+
+    svc, gate = _blocked_service(monkeypatch, tiny, max_queue=2)
+    try:
+        reqs = _requests(rng, 6, t_lo=4, t_hi=4)
+        # r0 is consumed by the (blocked) worker; the queue is empty again
+        f0 = svc.submit(*reqs[0])
+        import time as _t
+
+        _t.sleep(0.2)
+        # fill the bound with two low-priority requests
+        f_low1 = svc.submit(*reqs[1], priority=5)
+        f_low2 = svc.submit(*reqs[2], priority=5)
+        # same-priority arrival: no strictly-lower victim -> rejected
+        with pytest.raises(ServiceOverloaded):
+            svc.submit(*reqs[3], priority=5)
+        # higher-priority arrival evicts the YOUNGEST lowest-priority victim
+        f_hi = svc.submit(*reqs[4], priority=0)
+        with pytest.raises(ServiceOverloaded):
+            f_low2.result(timeout=5)
+        st = svc.stats()
+        assert st["shed"] == 2 and st["queue_depth"] == 2
+        gate.set()
+        # everything still queued completes; priority 0 bypassed priority 5
+        assert isinstance(f_hi.result(timeout=120), str)
+        assert isinstance(f_low1.result(timeout=120), str)
+        assert isinstance(f0.result(timeout=120), str)
+    finally:
+        gate.set()
+        svc.close()
+
+
+def test_priority_classes_are_served_in_order(monkeypatch, tiny, rng):
+    svc, gate = _blocked_service(monkeypatch, tiny)
+    try:
+        reqs = _requests(rng, 4, t_lo=4, t_hi=4)
+        svc.submit(*reqs[0])                      # absorbed by blocked worker
+        import time as _t
+
+        _t.sleep(0.2)
+        done = []
+        futs = {}
+        for name, prio, r in (("p3", 3, reqs[1]), ("p1", 1, reqs[2]),
+                              ("p2", 2, reqs[3])):
+            f = svc.submit(*r, priority=prio)
+            f.add_done_callback(lambda _f, n=name: done.append(n))
+            futs[name] = f
+        gate.set()
+        for f in futs.values():
+            f.result(timeout=120)
+        assert done == ["p1", "p2", "p3"]
+    finally:
+        gate.set()
+        svc.close()
+
+
+def test_deadline_expiry(monkeypatch, tiny, rng):
+    from mvc_tpu.serving import DeadlineExceeded
+
+    svc, gate = _blocked_service(monkeypatch, tiny)
+    try:
+        reqs = _requests(rng, 2, t_lo=4, t_hi=4)
+        svc.submit(*reqs[0])                      # absorbed by blocked worker
+        import time as _t
+
+        _t.sleep(0.2)
+        f = svc.submit(*reqs[1], deadline_ms=30.0)
+        _t.sleep(0.2)                             # let the deadline elapse
+        gate.set()
+        with pytest.raises(DeadlineExceeded):
+            f.result(timeout=120)
+        assert svc.stats()["deadline_expired"] == 1
+    finally:
+        gate.set()
+        svc.close()
+
+
+def test_router_routes_and_http_overload_codes(tiny, rng):
+    from mvc_tpu.serving import CaptionRouter
+
+    model, params, vocab = tiny
+    cfg = ServiceConfig(max_batch=2, max_wait_ms=20.0, frame_buckets=BUCKETS,
+                        max_caption_len=5, audio_dim=A_DIM, visual_dim=V_DIM)
+    # a second model variant: same family, different init -> the router must
+    # genuinely dispatch (captions generally differ between the two)
+    model2 = AVCaptioningDual(vocab_size=len(vocab), reconstructor_type="none",
+                              visual_decoder_config=TINY_V,
+                              audio_decoder_config=TINY_A)
+    params2 = model2.init(jax.random.PRNGKey(42))
+    # the overloadable variant: zero-capacity queue -> every request that
+    # can't preempt is shed
+    cfg_full = ServiceConfig(max_batch=1, max_wait_ms=1.0, frame_buckets=BUCKETS,
+                             max_caption_len=5, audio_dim=A_DIM,
+                             visual_dim=V_DIM, max_queue=0)
+    router = CaptionRouter({
+        "rnn": CaptionService(model, params, vocab, cfg),
+        "rnn_b": CaptionService(model2, params2, vocab, cfg),
+        "tiny_queue": CaptionService(model, params, vocab, cfg_full),
+    }, default="rnn")
+    visual, audio = _requests(rng, 1, t_lo=4, t_hi=4)[0]
+    with router:
+        exp_a = _expected(model, params, vocab, visual, audio, cfg)
+        exp_b = _expected(model2, params2, vocab, visual, audio, cfg)
+        assert router.caption(visual, audio) == exp_a            # default
+        assert router.caption(visual, audio, model="rnn_b") == exp_b
+        with pytest.raises(KeyError):
+            router.submit(visual, audio, model="nope")
+        st = router.stats()
+        assert set(st["models"]) == {"rnn", "rnn_b", "tiny_queue"}
+        assert st["default"] == "rnn"
+
+        server = make_http_server(router, port=0)
+        host, port = server.server_address[:2]
+        base = f"http://{host}:{port}"
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            status, body = _post(base + "/caption", {
+                "visual": visual.tolist(), "audio": audio.tolist(),
+                "model": "rnn_b", "priority": 1})
+            assert status == 200 and body["caption"] == exp_b
+
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(base + "/caption", {"visual": visual.tolist(),
+                                          "model": "nope"})
+            assert ei.value.code == 404
+
+            # the zero-capacity service sheds whatever cannot launch
+            # immediately: saturate it and expect at least one 503
+            codes = []
+
+            def hit():
+                try:
+                    codes.append(_post(base + "/caption", {
+                        "visual": visual.tolist(), "model": "tiny_queue"})[0])
+                except urllib.error.HTTPError as e:
+                    codes.append(e.code)
+
+            threads = [threading.Thread(target=hit) for _ in range(6)]
+            for th_ in threads:
+                th_.start()
+            for th_ in threads:
+                th_.join(timeout=120)
+            assert 503 in codes or all(c == 200 for c in codes)
+            # (all-200 is possible only if the worker kept up; with
+            # max_queue=0 and 6 concurrent posts that is effectively
+            # impossible — keep the assert robust to a miracle scheduler)
+            with urllib.request.urlopen(base + "/healthz", timeout=60) as resp:
+                assert resp.status == 200
+        finally:
+            server.shutdown()
+            server.server_close()
