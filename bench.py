@@ -81,22 +81,93 @@ def _cost(jfn, *args):
         return None, None
 
 
+_MEASURED = {"peak_hbm_gbps": None}
+
+
+def _measure_peak_hbm(iters: int = 30) -> float:
+    """MEASURED achievable HBM bandwidth on this chip: a saturating triad
+    (y = a*x + b over 256 MiB f32, bytes = read + write) — the denominator
+    every utilization figure is held to.  XLA cost-analysis bytes are
+    estimates that undercount scan bodies (counted once, not x trip count —
+    BENCH_NOTES round 5) and round-4 numbers exceeded the datasheet peak;
+    a measured envelope keeps every reported number <= 100%."""
+    x = jnp.zeros((64, 1024, 1024), jnp.float32)         # 256 MiB
+    f = jax.jit(lambda x: x * 1.0001 + 0.5)
+    y = f(x)
+    np.asarray(y[0, 0, :1])                              # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(x)
+    np.asarray(y[0, 0, :1])
+    dt = time.perf_counter() - t0
+    return 2 * x.nbytes * iters / dt / 1e9
+
+
+def _device_busy_pct(run_once, sync, iters: int = 5):
+    """MEASURED device-busy fraction from a jax.profiler trace: the busiest
+    device-plane line's summed event time over the traced wall window.
+    ``run_once`` is a thunk (donation-safe); best-effort (None when the
+    backend exposes no usable plane)."""
+    import glob
+    import tempfile
+
+    try:
+        from jax.profiler import ProfileData
+
+        with tempfile.TemporaryDirectory() as d:
+            t0 = time.perf_counter()
+            with jax.profiler.trace(d):
+                out = None
+                for _ in range(iters):
+                    out = run_once()
+                sync(out)
+            wall_ns = (time.perf_counter() - t0) * 1e9
+            paths = glob.glob(d + "/**/*.xplane.pb", recursive=True)
+            if not paths:
+                return None
+            pd = ProfileData.from_serialized_xspace(open(paths[0], "rb").read())
+            busy = 0
+            for plane in pd.planes:
+                if plane.name.startswith("/host:") and "TPU" not in plane.name:
+                    # host plane: only the device-client line counts
+                    lines = [ln for ln in plane.lines
+                             if "PjRt" in ln.name or "Client" in ln.name]
+                else:
+                    lines = list(plane.lines)
+                for ln in lines:
+                    total = sum(ev.duration_ns for ev in ln.events
+                                if not ev.name.startswith("end:"))
+                    busy = max(busy, total)
+            return round(100.0 * busy / wall_ns, 1) if busy else None
+    except Exception as e:                               # pragma: no cover
+        print(f"profiler trace unavailable ({e})", file=sys.stderr)
+        return None
+
+
 def _roofline(entry: dict, flops, byts, calls_per_sec) -> dict:
-    """Annotate a metric entry with achieved TFLOP/s, MFU and boundedness."""
+    """Annotate a metric entry: achieved TFLOP/s + MFU from cost-ESTIMATED
+    flops, plus estimated-vs-measured HBM accounting.  ``hbm_gbps`` is the
+    estimate clamped to the MEASURED achievable peak (no reported number may
+    exceed it); the raw estimate stays in ``hbm_gbps_est`` with a flag when
+    the cost model overcounted."""
     if not flops or not calls_per_sec:
         return entry
     tflops = flops * calls_per_sec / 1e12
     entry["gflops_per_call"] = round(flops / 1e9, 2)
     entry["achieved_tflops"] = round(tflops, 2)
     entry["mfu_pct"] = round(100.0 * tflops / PEAK_TFLOPS_BF16, 2)
+    peak = _MEASURED.get("peak_hbm_gbps") or PEAK_HBM_GBPS
     if byts:
-        hbm_gbps = byts * calls_per_sec / 1e9
-        entry["hbm_gbps"] = round(hbm_gbps, 1)
-        ridge = PEAK_TFLOPS_BF16 * 1e12 / (PEAK_HBM_GBPS * 1e9)  # flops/byte
+        hbm_est = byts * calls_per_sec / 1e9
+        entry["hbm_gbps_est"] = round(hbm_est, 1)
+        entry["hbm_gbps"] = round(min(hbm_est, peak), 1)
+        if hbm_est > peak:
+            entry["est_exceeds_measured_peak"] = True
+        ridge = PEAK_TFLOPS_BF16 * 1e12 / (peak * 1e9)   # flops/byte
         intensity = flops / byts
         if entry["mfu_pct"] >= 40.0:
             entry["bound"] = "MXU"
-        elif hbm_gbps >= 0.4 * PEAK_HBM_GBPS:
+        elif entry["hbm_gbps"] >= 0.4 * peak:
             entry["bound"] = "HBM"
         elif intensity < ridge:
             entry["bound"] = "latency (low intensity, HBM under-driven)"
@@ -183,9 +254,9 @@ BULK_B = 1024
 
 def bench_bulk_greedy() -> dict:
     """Tokens-only dual greedy at offline-scoring batch (B=1024): the
-    dispatch gate routes bulk batch to the XLA scan by design (fits_vmem +
-    the measured ~1.0x Pallas ceiling there, BENCH_NOTES scale study); the
-    [L,B,V] stack never materializes (decode_greedy_tokens)."""
+    batch-tiled resident kernel (grid over batch tiles, weights loaded once
+    — ops/pallas_dual_greedy, round 5) vs the XLA tokens-only scan; reports
+    the better of the two (the [L,B,V] stack never materializes on either)."""
     from mvc_tpu.models import AVCaptioningDual
     from mvc_tpu.ops import dispatch
 
@@ -197,10 +268,22 @@ def bench_bulk_greedy() -> dict:
 
     fn = jax.jit(lambda p, a, v: model.predict_tokens(
         p, a, v, max_caption_len=MAX_LEN, mode="direct"))
+    best = None
+    for use_pallas in (True, False):
+        dispatch.enable_pallas(use_pallas)
+        try:
+            rate = _rate(fn, (params, audio, visual), BULK_B, iters=30)
+            flops, byts = _cost(fn, params, audio, visual)
+        except Exception as e:  # Mosaic compile failure -> XLA path only
+            print(f"bulk pallas={use_pallas} failed: {e}", file=sys.stderr)
+            continue
+        rec = {"rate": rate, "flops": flops, "bytes": byts,
+               "path": "pallas_tiled" if use_pallas else "xla_scan"}
+        if best is None or rec["rate"] > best["rate"]:
+            best = rec
+        fn.clear_cache()
     dispatch.enable_pallas(False)
-    rate = _rate(fn, (params, audio, visual), BULK_B, iters=30)
-    flops, byts = _cost(fn, params, audio, visual)
-    return {"rate": rate, "flops": flops, "bytes": byts}
+    return best
 
 
 def bench_train() -> dict:
@@ -247,7 +330,15 @@ def bench_train() -> dict:
         params, opt_state, m = train_step(params, opt_state, batch, rng)
     np.asarray(m["total"])
     rate = TRAIN_B * iters / (time.perf_counter() - t0)
-    return {"rate": rate, "flops": flops, "bytes": byts}
+    state = {"p": params, "o": opt_state}
+
+    def run_once():
+        state["p"], state["o"], m = train_step(state["p"], state["o"], batch, rng)
+        return m
+
+    busy = _device_busy_pct(run_once, lambda m: np.asarray(m["total"]))
+    return {"rate": rate, "flops": flops, "bytes": byts,
+            "device_busy_pct": busy}
 
 
 def bench_extract(clip_root: str) -> dict:
@@ -493,9 +584,14 @@ def get_baselines(measure_missing: bool = True) -> dict:
 # ------------------------------------------------------------------ driver
 LASTGOOD = os.path.join(REPO, "BENCH_LASTGOOD.json")
 ROOFLINE_NOTE = {"peak_tflops_bf16": PEAK_TFLOPS_BF16,
-                 "peak_hbm_gbps": PEAK_HBM_GBPS,
+                 "peak_hbm_gbps_datasheet": PEAK_HBM_GBPS,
                  "note": "MFU vs one-chip v5e bf16 peak; f32-compute "
-                         "paths are a conservative lower bound"}
+                         "paths are a conservative lower bound; hbm_gbps "
+                         "clamps XLA cost-analysis byte ESTIMATES (which "
+                         "undercount scan bodies and overcounted round-4 "
+                         "train >100% of peak) to the chip's MEASURED triad "
+                         "bandwidth (peak_hbm_gbps_measured; raw estimate "
+                         "kept in hbm_gbps_est)"}
 
 
 def _consolidated(metrics: dict) -> dict:
@@ -624,6 +720,14 @@ def main():
     from mvc_tpu.utils.runtime import setup_compile_cache
 
     setup_compile_cache()
+    try:
+        _MEASURED["peak_hbm_gbps"] = round(_measure_peak_hbm(), 1)
+        ROOFLINE_NOTE["peak_hbm_gbps_measured"] = _MEASURED["peak_hbm_gbps"]
+        print(f"measured triad HBM: {_MEASURED['peak_hbm_gbps']} GB/s",
+              file=sys.stderr)
+    except Exception as e:                               # pragma: no cover
+        print(f"triad HBM measurement failed ({e}); using datasheet peak",
+              file=sys.stderr)
     base = get_baselines()
 
     def entry(res, unit, per, base_key):
@@ -631,6 +735,10 @@ def main():
         e = {"value": round(res["rate"], 2), "unit": unit}
         if bval:
             e["vs_baseline"] = round(res["rate"] / bval, 2)
+        if res.get("device_busy_pct") is not None:
+            e["device_busy_pct_measured"] = res["device_busy_pct"]
+        if res.get("path"):
+            e["path"] = res["path"]
         return _roofline(e, res.get("flops"), res.get("bytes"),
                          res["rate"] / per)
 
