@@ -268,22 +268,69 @@ def bench_bulk_greedy() -> dict:
 
     fn = jax.jit(lambda p, a, v: model.predict_tokens(
         p, a, v, max_caption_len=MAX_LEN, mode="direct"))
-    best = None
-    for use_pallas in (True, False):
-        dispatch.enable_pallas(use_pallas)
-        try:
-            rate = _rate(fn, (params, audio, visual), BULK_B, iters=30)
-            flops, byts = _cost(fn, params, audio, visual)
-        except Exception as e:  # Mosaic compile failure -> XLA path only
-            print(f"bulk pallas={use_pallas} failed: {e}", file=sys.stderr)
-            continue
-        rec = {"rate": rate, "flops": flops, "bytes": byts,
-               "path": "pallas_tiled" if use_pallas else "xla_scan"}
-        if best is None or rec["rate"] > best["rate"]:
-            best = rec
-        fn.clear_cache()
     dispatch.enable_pallas(False)
+    rate = _rate(fn, (params, audio, visual), BULK_B, iters=30)
+    flops, byts = _cost(fn, params, audio, visual)
+    best = {"rate": rate, "flops": flops, "bytes": byts, "path": "xla_scan"}
+    # The batch-tiled Pallas rate is measured by a KILLABLE pre-claim
+    # subprocess (see _probe_bulk_pallas: the Mosaic compile at B=1024 can
+    # pathologically exceed any budget through the remote-compile tunnel and
+    # an in-thread compile cannot be interrupted — it must not eat the run).
+    sub = _BULK_SUBPROC.get("result")
+    if sub and sub.get("rate", 0) > best["rate"]:
+        # no cost analysis for the subprocess path: omit roofline fields
+        # rather than annotate the Pallas rate with the XLA program's bytes
+        best = {"rate": sub["rate"], "flops": None, "bytes": None,
+                "path": "pallas_tiled"}
     return best
+
+
+_BULK_SUBPROC: dict = {}
+
+
+def _probe_bulk_pallas(budget: int) -> None:
+    """Measure the batch-tiled Pallas bulk decode in a subprocess BEFORE this
+    process claims the chip (one process holds it at a time); a timeout kills
+    a pathological Mosaic compile instead of the whole bench run."""
+    import subprocess
+
+    code = (
+        "import json, time, bench, jax, numpy as np, jax.numpy as jnp\n"
+        "from mvc_tpu.models import AVCaptioningDual\n"
+        "from mvc_tpu.ops import dispatch\n"
+        "from mvc_tpu.utils.runtime import setup_compile_cache\n"
+        "setup_compile_cache()\n"
+        "model = AVCaptioningDual(vocab_size=bench.VOCAB, dtype=jnp.bfloat16)\n"
+        "params = model.init(jax.random.PRNGKey(0))\n"
+        "gen = np.random.default_rng(0)\n"
+        "a = jnp.asarray(gen.normal(size=(bench.BULK_B, bench.T, 128)).astype(np.float32))\n"
+        "v = jnp.asarray(gen.normal(size=(bench.BULK_B, bench.T, 2048)).astype(np.float32))\n"
+        "dispatch.enable_pallas(True)\n"
+        "fn = jax.jit(lambda p, a, v: model.predict_tokens("
+        "p, a, v, max_caption_len=bench.MAX_LEN, mode='direct'))\n"
+        "np.asarray(fn(params, a, v))\n"
+        "t0 = time.perf_counter()\n"
+        "for _ in range(30): tok = fn(params, a, v)\n"
+        "np.asarray(tok)\n"
+        "print(json.dumps({'rate': bench.BULK_B * 30 / (time.perf_counter() - t0)}))\n"
+    )
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", code], cwd=REPO, timeout=budget,
+            capture_output=True, text=True, env=dict(os.environ), check=False,
+        )
+        if probe.returncode == 0:
+            line = probe.stdout.strip().splitlines()[-1]
+            _BULK_SUBPROC["result"] = json.loads(line)
+            print(f"bulk pallas subprocess: {_BULK_SUBPROC['result']}",
+                  file=sys.stderr)
+            return
+        note = probe.stderr[-300:]
+    except subprocess.TimeoutExpired:
+        note = f"probe exceeded {budget}s"
+    except Exception as e:                               # pragma: no cover
+        note = str(e)
+    print(f"bulk pallas probe failed; XLA scan only ({note})", file=sys.stderr)
 
 
 def bench_train() -> dict:
@@ -711,6 +758,13 @@ def main():
         _emit({**last, "stale": True,
                "stale_reason": "startup placeholder; superseded by the "
                                "fresh lines below if the run completes"})
+
+    # Pallas bulk probe runs BEFORE the device claim (it needs the chip to
+    # itself; MVC_BULK_PALLAS_PROBE_S=0 disables).
+    if "bulk" in which:
+        budget = int(os.environ.get("MVC_BULK_PALLAS_PROBE_S", "600"))
+        if budget > 0:
+            _probe_bulk_pallas(budget)
 
     _wait_for_device()
     global jax, jnp
