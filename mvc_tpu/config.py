@@ -134,6 +134,11 @@ class TrainerConfig:
     # Same math to float precision; auto-falls-back when unsupported
     # (compat_batch_axis_entropy, tp>1 vocab sharding, transformer family).
     fused_loss: bool = True
+    # OPT-IN, NON-PARITY (PARITY.md): store the Adam moment trees (mu, nu,
+    # nu_max) in this dtype — "bfloat16" halves the train step's largest
+    # optimizer stream (3 full param-sized f32 trees) for ~0.4% relative
+    # moment rounding; None keeps exact torch-Adam f32 state.
+    adam_state_dtype: Optional[str] = None
     # Mask attention over padded frames.  The reference attends to zero-padded
     # frames (no mask — src/models/temporal_attention.py is called without
     # masks from the decoder); masking is strictly saner and makes results

@@ -31,39 +31,63 @@ class TorchAmsgradState(NamedTuple):
     nu_max: optax.Updates
 
 
-def scale_by_torch_amsgrad(b1=0.9, b2=0.999, eps=1e-8) -> optax.GradientTransformation:
+def scale_by_torch_amsgrad(b1=0.9, b2=0.999, eps=1e-8,
+                           state_dtype=None) -> optax.GradientTransformation:
     """torch.optim.Adam(amsgrad=True) semantics exactly: the max accumulator
     tracks the RAW second moment and the bias correction divides the
     denominator (optax.amsgrad maxes the bias-corrected moment instead, which
-    diverges early in training — tests/test_optimizer_parity.py)."""
+    diverges early in training — tests/test_optimizer_parity.py).
+
+    ``state_dtype`` (opt-in, non-parity — PARITY.md): store the three moment
+    trees (mu, nu, nu_max) in a reduced dtype; the update math still runs in
+    f32 (moments are upcast on read, rounded on store).  At the production
+    dual+global model those trees are 3 x 163.6 MB f32 — the train step's
+    largest optimizer stream (BENCH_NOTES round 5); bf16 state halves it for
+    ~0.4% relative moment rounding."""
+    sd = None if state_dtype is None else jnp.dtype(state_dtype)
+
+    def store(x):
+        return x if sd is None else x.astype(sd)
+
+    def f32(x):
+        return x.astype(jnp.float32)
 
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
+        def zeros(p):
+            return jnp.zeros_like(p, dtype=sd or p.dtype)
+
         return TorchAmsgradState(
-            count=jnp.zeros([], jnp.int32), mu=zeros,
-            nu=jax.tree.map(jnp.zeros_like, params),
-            nu_max=jax.tree.map(jnp.zeros_like, params),
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+            nu_max=jax.tree.map(zeros, params),
         )
 
     def update_fn(updates, state, params=None):
         del params
         count = state.count + 1
-        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
-        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
-        nu_max = jax.tree.map(jnp.maximum, state.nu_max, nu)
+        mu = jax.tree.map(lambda m, g: b1 * f32(m) + (1 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * f32(v) + (1 - b2) * g * g,
+                          state.nu, updates)
+        nu_max = jax.tree.map(lambda vm, v: jnp.maximum(f32(vm), v),
+                              state.nu_max, nu)
         bc1 = 1 - b1 ** count.astype(jnp.float32)
         bc2 = 1 - b2 ** count.astype(jnp.float32)
         new_updates = jax.tree.map(
             lambda m, vmax: (m / bc1) / (jnp.sqrt(vmax) / jnp.sqrt(bc2) + eps),
             mu, nu_max,
         )
-        return new_updates, TorchAmsgradState(count, mu, nu, nu_max)
+        return new_updates, TorchAmsgradState(
+            count, jax.tree.map(store, mu), jax.tree.map(store, nu),
+            jax.tree.map(store, nu_max))
 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
 def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
     """clip(value) -> +wd*p -> amsgrad/adam -> lr (injected)."""
+    state_dtype = getattr(cfg, "adam_state_dtype", None)
 
     def build(learning_rate):
         steps = []
@@ -72,7 +96,7 @@ def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
         if cfg.weight_decay:
             steps.append(optax.add_decayed_weights(cfg.weight_decay))
         if cfg.amsgrad:
-            steps.append(scale_by_torch_amsgrad())
+            steps.append(scale_by_torch_amsgrad(state_dtype=state_dtype))
             steps.append(optax.scale_by_learning_rate(learning_rate))
         else:
             steps.append(optax.adam(learning_rate))

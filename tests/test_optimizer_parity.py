@@ -78,3 +78,40 @@ def test_plateau_min_mode_reference_quirk():
     s = PlateauScheduler(lr=1.0, factor=0.5, patience=2, min_lr=1e-3, mode="min")
     lrs = [s.step(m) for m in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6)]
     assert lrs[-1] < 1.0  # improvement counted as "bad" epochs -> decay
+
+
+def test_adam_state_dtype_bf16_close_to_f32():
+    """Opt-in bf16 moment storage (cfg.adam_state_dtype, PARITY.md): the
+    state trees are stored bf16, default stays exact f32, and a short
+    trajectory tracks the f32 optimizer to bf16 rounding tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvc_tpu.config import TrainerConfig
+    from mvc_tpu.training.optimizer import make_optimizer
+
+    params = {"w": jnp.asarray(np.random.default_rng(0).normal(
+        size=(32, 32)).astype(np.float32))}
+
+    def run(state_dtype):
+        cfg = TrainerConfig(lr=1e-2, adam_state_dtype=state_dtype)
+        opt = make_optimizer(cfg)
+        p = dict(params)
+        st = opt.init(p)
+        gen = np.random.default_rng(1)
+        for _ in range(20):
+            g = {"w": jnp.asarray(gen.normal(size=(32, 32)).astype(np.float32))}
+            up, st = opt.update(g, st, p)
+            p = jax.tree.map(lambda a, b: a + b, p, up)
+        return p, st
+
+    p32, st32 = run(None)
+    pbf, stbf = run("bfloat16")
+    inner32 = st32.inner_state[-1] if hasattr(st32, "inner_state") else st32
+    leaves32 = [x for x in jax.tree.leaves(st32) if hasattr(x, "dtype")]
+    leavesbf = [x for x in jax.tree.leaves(stbf) if hasattr(x, "dtype")]
+    assert all(x.dtype != jnp.bfloat16 for x in leaves32)
+    assert any(x.dtype == jnp.bfloat16 for x in leavesbf)
+    np.testing.assert_allclose(np.asarray(p32["w"]), np.asarray(pbf["w"]),
+                               rtol=0.05, atol=5e-3)

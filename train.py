@@ -66,6 +66,9 @@ def main():
     parser.add_argument("--sp", default=1, type=int,
                         help="sequence-parallel mesh axis (shards the frame axis T)")
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--adam_state_dtype", choices=["bfloat16"], default=None,
+                        help="opt-in non-parity: store Adam moments in bf16 "
+                             "(halves the largest optimizer HBM stream; PARITY.md)")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--device_feature_cache", action="store_true",
                         help="keep all clip features resident in HBM; per-step H2D "
@@ -151,6 +154,7 @@ def main():
         cfg.visual_recon_lambda = exp["loss"]["visual_recon_lambda"]
         cfg.seed = args.seed
         cfg.compute_dtype = args.dtype
+        cfg.adam_state_dtype = args.adam_state_dtype
         cfg.device_feature_cache = args.device_feature_cache
         cfg.meteor_synonyms = args.meteor_synonyms
         cfg.meteor_paraphrases = args.meteor_paraphrases
