@@ -78,7 +78,11 @@ def _pallas_dispatch(params_list, feats_list, feat_mask, rnn_types,
         return None
     if not fits_vmem(params_list, feats_list, beam_width=beam_width,
                      rnn_types=rnn_types,
-                     batch_div=sharded.axes_size(mesh, axes)):
+                     batch_div=sharded.axes_size(mesh, axes),
+                     # bulk direct decodes grid-tile the batch over the
+                     # resident kernels (pallas_decode/_dual_greedy) — admit
+                     # shapes whose batch TILE fits
+                     allow_batch_tiling=(beam_width == 1)):
         return None
     kernel = make_kernel()
     if axes:

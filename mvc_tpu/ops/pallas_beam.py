@@ -81,11 +81,15 @@ def _use_factored(BT: int, F: int, H4: int) -> bool:
     return BT * H4 < BT * F + F * H4
 
 
+BATCH_TILES = (512, 256, 128, 64)   # grid batch-tile candidates, largest first
+
+
 def fits_vmem(
     decoder_params, feats_list, beam_width: int = 1,
     weight_dtype: str = "bfloat16", vmem_limit_mb: int = 128,
     rnn_types: Optional[Sequence[str]] = None, batch_div: int = 1,
     tile_g: int = 256, tile_v: int = 1024,
+    allow_batch_tiling: bool = False,
 ) -> bool:
     """Host-side pre-flight: do the kernel's VMEM-RESIDENT operands plausibly
     fit the budget?  Accounts for the beam kernel's layout (the heaviest of
@@ -118,38 +122,51 @@ def fits_vmem(
     ecat_p = _round_up(
         sum(int(p["embedding"]["table"].shape[1]) for p in decoder_params), 128
     )
-    B, T, _ = feats_list[0].shape
-    B = -(-B // max(1, int(batch_div)))           # per-shard batch
-    BW = B * int(beam_width)
-    total = Vp * ecat_p * wd                      # resident emb tables
-    total += BW * Vp * 4                          # one-hot f32 intermediate
-    for d, (p, f) in enumerate(zip(decoder_params, feats_list)):
-        cell = rnn_types[d] if rnn_types is not None else "LSTM"
-        _, Tf, F = f.shape
-        A = p["attention"]["W"].shape[1]
-        E = p["embedding"]["table"].shape[1]
-        H4 = p["rnn"]["wi"].shape[1]
-        H = H4 // (4 if cell == "LSTM" else 3)
-        TG = tile_g if (tile_g <= H and H % tile_g == 0) else H
-        factored = _use_factored(B * Tf, F, H4)
-        if factored:
-            Kp = (_round_up(E + H, 256) if cell == "LSTM"
-                  else _round_up(E, 256))
-            # P = feats @ wi_ctx replaces feats as the resident per-clip slab
-            total += B * Tf * (H4 + A) * wd       # P + keys (stored per clip)
-            total += 4 * BW * H4                  # live f32 ctx-gate activations
-        else:
-            Kp = (_round_up(F + E + H, 256) if cell == "LSTM"
-                  else _round_up(F + E, 256))
-            total += B * Tf * (F + A) * wd        # feats + keys (stored per clip)
-        if cell == "GRU":
-            total += H * H4 * wd                  # resident recurrent weights
-        total += 2 * (Kp * TG + H * TVr) * wd     # double-buffered w tiles
-        total += 4 * BW * (Kp + H4 + TVr + H)     # live f32 activations
-        total += 4 * BW * Tf * A                  # f32 energies view [BW, T, A]
-        CRc = max(1, min(B, 2048 // max(Tf, 1))) * Tf
-        total += 12 * BW * CRc                    # wrep/blk/wbd f32 context rows
-    return total <= int(vmem_limit_mb * 0.75) << 20
+    B0, T, _ = feats_list[0].shape
+    B0 = -(-B0 // max(1, int(batch_div)))         # per-shard batch
+
+    def est(B: int) -> int:
+        BW = B * int(beam_width)
+        total = Vp * ecat_p * wd                  # resident emb tables
+        total += BW * Vp * 4                      # one-hot f32 intermediate
+        for d, (p, f) in enumerate(zip(decoder_params, feats_list)):
+            cell = rnn_types[d] if rnn_types is not None else "LSTM"
+            _, Tf, F = f.shape
+            A = p["attention"]["W"].shape[1]
+            E = p["embedding"]["table"].shape[1]
+            H4 = p["rnn"]["wi"].shape[1]
+            H = H4 // (4 if cell == "LSTM" else 3)
+            TG = tile_g if (tile_g <= H and H % tile_g == 0) else H
+            factored = _use_factored(B * Tf, F, H4)
+            if factored:
+                Kp = (_round_up(E + H, 256) if cell == "LSTM"
+                      else _round_up(E, 256))
+                # P = feats @ wi_ctx replaces feats as the resident per-clip slab
+                total += B * Tf * (H4 + A) * wd   # P + keys (stored per clip)
+                total += 4 * BW * H4              # live f32 ctx-gate activations
+            else:
+                Kp = (_round_up(F + E + H, 256) if cell == "LSTM"
+                      else _round_up(F + E, 256))
+                total += B * Tf * (F + A) * wd    # feats + keys (stored per clip)
+            if cell == "GRU":
+                total += H * H4 * wd              # resident recurrent weights
+            total += 2 * (Kp * TG + H * TVr) * wd  # double-buffered w tiles
+            total += 4 * BW * (Kp + H4 + TVr + H)  # live f32 activations
+            total += 4 * BW * Tf * A              # f32 energies view [BW, T, A]
+            CRc = max(1, min(B, 2048 // max(Tf, 1))) * Tf
+            total += 12 * BW * CRc                # wrep/blk/wbd f32 context rows
+        return total
+
+    budget = int(vmem_limit_mb * 0.75) << 20
+    if est(B0) <= budget:
+        return True
+    if allow_batch_tiling and beam_width == 1:
+        # greedy/dual direct wrappers grid-tile bulk batches over the
+        # resident kernel (weights loaded once; per-clip slabs blocked) —
+        # admit any shape whose tile fits (the wrapper picks the layout)
+        return any(bt < B0 and B0 % bt == 0 and est(bt) <= budget
+                   for bt in BATCH_TILES)
+    return False
 
 
 def _beam_kernel(

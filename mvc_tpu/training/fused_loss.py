@@ -221,7 +221,7 @@ def ce_entropy_from_hiddens(
     captions: jnp.ndarray,                   # [L, B] int gold tokens
     sample_mask: Optional[jnp.ndarray] = None,   # [B] bool, True = real row
     compute_dtype=jnp.bfloat16,
-    tile_v: int = 512,
+    tile_v: int = 4096,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(ce, entropy) equal to losses.nll_loss / losses.entropy_loss on the
     materialized outputs (vocab-axis entropy), without building them.

@@ -515,3 +515,90 @@ def test_pallas_beam_stored_topw_matches_streaming(rng):
     a2 = np.asarray(beam_decode_pallas([ggp], [gfeats], topw="streaming", **kw2))
     b2 = np.asarray(beam_decode_pallas([ggp], [gfeats], topw="stored", **kw2))
     np.testing.assert_array_equal(a2, b2)
+
+
+def test_pallas_batch_tiled_greedy_matches_untiled(rng):
+    """Grid-tiled resident greedy (batch_tile knob / bulk auto rule) must be
+    token-identical to the whole-batch resident kernel and the XLA scan."""
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.ops import pallas_decode as pd
+
+    cfg = DecoderConfig(in_feature_size=24, rnn_hidden_size=16, embedding_size=8,
+                        attn_size=8, output_size=31)
+    params = dec.init_decoder(jax.random.PRNGKey(1), cfg)
+    B, T, L = 128, 5, 9
+    feats = jnp.asarray(rng.normal(size=(B, T, 24)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 3:] = False
+    mask[70, 2:] = False
+    mask = jnp.asarray(mask)
+
+    outputs, _ = dec.decode(params, cfg, feats, captions=None,
+                            max_caption_len=L, feat_mask=mask)
+    ref_tokens = np.asarray(dec.greedy_tokens(outputs))
+    tok = np.asarray(pd.greedy_decode_pallas(
+        params, feats, feat_mask=mask, max_caption_len=L,
+        weight_dtype="float32", interpret=True, batch_tile=64))
+    np.testing.assert_array_equal(tok, ref_tokens)
+
+    # auto rule: when the whole batch doesn't fit, a dividing tile is picked
+    orig = pd._resident_fits
+    pd._resident_fits = lambda *a: False
+    try:
+        tok_auto = np.asarray(pd.greedy_decode_pallas(
+            params, feats, feat_mask=mask, max_caption_len=L + 1,
+            weight_dtype="float32", interpret=True))
+    finally:
+        pd._resident_fits = orig
+    np.testing.assert_array_equal(tok_auto[:, :L], ref_tokens)
+
+
+def test_pallas_batch_tiled_dual_matches_untiled(rng):
+    """Grid-tiled resident DUAL greedy must match the whole-batch kernel and
+    the XLA dual direct path (mixed LSTM+GRU cells)."""
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.models.captioning import dual_greedy_tokens_fused
+    from mvc_tpu.ops.pallas_dual_greedy import dual_greedy_decode_pallas
+
+    v_cfg = DecoderConfig(in_feature_size=24, rnn_hidden_size=16,
+                          embedding_size=8, attn_size=8, output_size=29)
+    a_cfg = DecoderConfig(in_feature_size=12, rnn_hidden_size=16,
+                          embedding_size=8, attn_size=8, output_size=29,
+                          rnn_type="GRU")
+    v_params = dec.init_decoder(jax.random.PRNGKey(5), v_cfg)
+    a_params = dec.init_decoder(jax.random.PRNGKey(6), a_cfg)
+    B, T, L = 96, 4, 8
+    v_feats = jnp.asarray(rng.normal(size=(B, T, 24)).astype(np.float32))
+    a_feats = jnp.asarray(rng.normal(size=(B, T, 12)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[3, 2:] = False
+    mask = jnp.asarray(mask)
+
+    ref = np.asarray(dual_greedy_tokens_fused(
+        v_params, a_params, v_cfg, a_cfg, v_feats, a_feats,
+        max_caption_len=L, feat_mask=mask))
+    for bt in (32, 48):
+        tok = np.asarray(dual_greedy_decode_pallas(
+            [v_params, a_params], [v_feats, a_feats], feat_mask=mask,
+            max_caption_len=L, weight_dtype="float32",
+            rnn_types=("LSTM", "GRU"), interpret=True, batch_tile=bt))
+        np.testing.assert_array_equal(tok, ref)
+
+
+def test_fits_vmem_batch_tiling_gate(rng):
+    """allow_batch_tiling admits bulk direct shapes whose batch tile fits,
+    but never beam shapes (tiling is greedy/dual-direct only)."""
+    from mvc_tpu.config import DecoderConfig
+    from mvc_tpu.models import decoder as dec
+    from mvc_tpu.ops.pallas_beam import fits_vmem
+
+    cfg = DecoderConfig(in_feature_size=2048, rnn_hidden_size=512,
+                        embedding_size=468, attn_size=256, output_size=4000)
+    params = dec.init_decoder(jax.random.PRNGKey(0), cfg)
+    feats = jnp.zeros((1024, 16, 2048), jnp.bfloat16)
+    assert not fits_vmem([params], [feats], beam_width=1)
+    assert fits_vmem([params], [feats], beam_width=1, allow_batch_tiling=True)
+    assert not fits_vmem([params], [feats], beam_width=5,
+                         allow_batch_tiling=True)
