@@ -92,15 +92,27 @@ def _measure_peak_hbm(iters: int = 30) -> float:
     BENCH_NOTES round 5) and round-4 numbers exceeded the datasheet peak;
     a measured envelope keeps every reported number <= 100%."""
     x = jnp.zeros((64, 1024, 1024), jnp.float32)         # 256 MiB
-    f = jax.jit(lambda x: x * 1.0001 + 0.5)
+    passes = 40                                          # ~20 GB per call
+
+    def triad(x):
+        # optimization_barrier between passes: an elementwise chain would
+        # otherwise fuse to ONE read+write; per-call work must dwarf the
+        # host->device dispatch latency (a tunnel RTT here costs ~ms — an
+        # unamortized 0.65 ms kernel measured 315 GB/s on an 819 GB/s part)
+        def body(_, y):
+            return jax.lax.optimization_barrier(y * 1.0001 + 0.5)
+
+        return jax.lax.fori_loop(0, passes, body, x)
+
+    f = jax.jit(triad)
     y = f(x)
     np.asarray(y[0, 0, :1])                              # compile + sync
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(max(1, iters // 10)):
         y = f(x)
     np.asarray(y[0, 0, :1])
     dt = time.perf_counter() - t0
-    return 2 * x.nbytes * iters / dt / 1e9
+    return 2 * x.nbytes * passes * max(1, iters // 10) / dt / 1e9
 
 
 def _device_busy_pct(run_once, sync, iters: int = 5):
