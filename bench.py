@@ -786,14 +786,17 @@ def main():
     from mvc_tpu.utils.runtime import setup_compile_cache
 
     setup_compile_cache()
-    try:
-        _MEASURED["peak_hbm_gbps"] = round(_measure_peak_hbm(), 1)
-        ROOFLINE_NOTE["peak_hbm_gbps_measured"] = _MEASURED["peak_hbm_gbps"]
-        print(f"measured triad HBM: {_MEASURED['peak_hbm_gbps']} GB/s",
-              file=sys.stderr)
-    except Exception as e:                               # pragma: no cover
-        print(f"triad HBM measurement failed ({e}); using datasheet peak",
-              file=sys.stderr)
+    if os.environ.get("MVC_TRIAD", "1") != "0":
+        try:
+            _MEASURED["peak_hbm_gbps"] = round(_measure_peak_hbm(), 1)
+            ROOFLINE_NOTE["peak_hbm_gbps_measured"] = _MEASURED["peak_hbm_gbps"]
+            print(f"measured triad HBM: {_MEASURED['peak_hbm_gbps']} GB/s",
+                  file=sys.stderr)
+        except Exception as e:                           # pragma: no cover
+            print(f"triad HBM measurement failed ({e}); using datasheet peak",
+                  file=sys.stderr)
+    else:
+        print("MVC_TRIAD=0: utilization vs datasheet peak", file=sys.stderr)
     base = get_baselines()
 
     def entry(res, unit, per, base_key):
