@@ -19,6 +19,7 @@ clip's frames, run VGGish on that clip's audio, save, repeat
 from __future__ import annotations
 
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -259,14 +260,21 @@ class FeatureExtractor:
         done = 0
         chunks = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
 
+        # Host-decode vs device-encode wall split (the stages overlap via the
+        # pipeline below, so the two sums can exceed total wall; each sum is
+        # that stage's busy time and the larger one is the bound).
+        times = {"decode_s": 0.0, "encode_s": 0.0}
+
         def decode_chunk(chunk):
             """Per-clip decode with failure isolation."""
+            t0 = time.perf_counter()
             out = []
             for path, name in chunk:
                 try:
                     out.append((name, self._decode_one(path)))
                 except Exception as e:
                     failures.append((path, str(e)))
+            times["decode_s"] += time.perf_counter() - t0
             return out
 
         # Pipeline: decode chunk i+1 on a host thread while chunk i encodes on
@@ -282,16 +290,20 @@ class FeatureExtractor:
                 )
                 if not decoded_named:
                     continue
+                t0 = time.perf_counter()
                 names = [n for n, _ in decoded_named]
                 results = self._encode_decoded([d for _, d in decoded_named])
                 for name, (video_f, audio_f) in zip(names, results):
                     np.save(os.path.join(video_feat_dir, name), video_f)
                     np.save(os.path.join(audio_feat_dir, name), audio_f)
                     done += 1
+                times["encode_s"] += time.perf_counter() - t0
                 if verbose:
                     print(f"extracted {done}/{len(todo)} (skipped {skipped}, failures {len(failures)})")
         finally:
             stager.shutdown(wait=False)
         if failures and verbose:
             print("failures:", failures)
-        return {"done": done, "skipped": skipped, "failures": len(failures)}
+        return {"done": done, "skipped": skipped, "failures": len(failures),
+                "decode_s": round(times["decode_s"], 3),
+                "encode_s": round(times["encode_s"], 3)}
