@@ -240,6 +240,8 @@ def test_extractor_end_to_end(tmp_path):
     fe = FeatureExtractor(frame_buckets=(8, 16), audio_buckets=(4, 8), decode_workers=2)
     stats = fe.extract_dataset(str(videos), str(tmp_path / "features"), batch_size=2, verbose=False)
     assert stats["done"] == 2 and stats["failures"] == 0
+    # per-stage busy time split (bench.py's measured host-vs-device bound)
+    assert stats["decode_s"] > 0 and stats["encode_s"] > 0
 
     vf = np.load(tmp_path / "features" / "video" / "clipA_0_3.npy")
     af = np.load(tmp_path / "features" / "audio" / "clipA_0_3.npy")
