@@ -218,7 +218,7 @@ def main():
     # 50 epochs = 5 h per cell per side.  Batch/lr/optimizer/clip and the
     # corpus scale are exact; pass --epochs 50 on a real host.
     ap.add_argument("--epochs", type=int, default=10)
-    ap.add_argument("--cells", type=int, default=3, choices=(3, 6),
+    ap.add_argument("--cells", type=int, default=3, choices=(1, 2, 3, 6),
                     help="3 = dual-modality x reconstructor (the production "
                          "family); 6 adds the video-only row")
     ap.add_argument("--root", default="/tmp/quality_ladder_msvd/MSVD")
@@ -335,6 +335,17 @@ def main():
             "custom-vjp recon scan).  The beam column is ours-only: the "
             "reference's dual beam is an unimplemented FIXME upstream "
             "(src/models/captioning.py:269-277).",
+            "",
+            "Reading the numbers: at 10 epochs both sides are far from "
+            "convergence, so greedy captions are argmax-unstable — tiny "
+            "accumulated float drift (6k steps of torch-CPU vs XLA-CPU "
+            "arithmetic) flips near-tied argmaxes and the identical-captions "
+            "column is low by construction at this depth; per-epoch "
+            "LOSS-trajectory agreement from identical weights is the "
+            "step-semantics contract and is asserted directly in "
+            "tests/test_fit_parity.py, and the CONVERGED v1 ladder above "
+            "shows 0.46-0.79 caption agreement.  The per-cell score "
+            "tolerance below is the v2 acceptance bar.",
             "",
             "| modality | reconstructor | "
             + " | ".join(f"ours {m} | ref {m}" for m in METRICS)
