@@ -167,7 +167,15 @@ def train_ours(model, init_params, loader, lambdas, epochs, lr,
     cfg = TrainerConfig(batch_size=BATCH, lr=lr, weight_decay=1e-5,
                         reg_lambda=lambdas["reg_lambda"],
                         audio_recon_lambda=lambdas["audio_recon_lambda"],
-                        visual_recon_lambda=lambdas["visual_recon_lambda"])
+                        visual_recon_lambda=lambdas["visual_recon_lambda"],
+                        # bug-compat for the two-sided comparison: the
+                        # reference attends zero-padded frames (PARITY.md
+                        # #3) and computes the entropy regularizer along
+                        # the batch axis (its quirk); this corpus has
+                        # variable T, so the sane defaults would train a
+                        # semantically different model.
+                        mask_padded_features=False,
+                        compat_batch_axis_entropy=True)
     tr = Trainer("ladder", log_dir=None)
     tr._optimizer = opt_lib.make_optimizer(cfg)
     train_step, _ = tr._build_train_step(model, cfg)
@@ -210,6 +218,93 @@ def eval_ours(model, params, vidcap_loader, vocab, max_len=16, mode="direct"):
 METRICS = ("CIDEr", "BLEU_4", "ROUGE_L")
 
 
+def run_step_parity(args, vocab, ref_cap, loaders, make_init, make_ours):
+    """Per-step total-loss trajectory agreement at MSVD scale (one epoch,
+    video_audio/global): our PRODUCTION train step (fused chunked-vocab
+    CE+entropy, custom-vjp recon scan, trainer.py:99) vs the reference's
+    eager step (src/train.py:98-131 semantics via losses.py + torch Adam)
+    from identical converted init weights and identical batch order.
+    Steps whose batch carries padded sample rows are excluded from the
+    agreement stats (the reference has no sample_mask concept — its loss
+    dilutes on padded rows by construction, PARITY.md; ours is exact)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from losses import ModalityWiseReconstructionLossBuilder as RefBuilder
+    from mvc_tpu.config import TrainerConfig
+    from mvc_tpu.training import optimizer as opt_lib
+    from mvc_tpu.training.trainer import Trainer
+
+    rec = getattr(args, "sp_rec", None) or "global"
+    lambdas = dict(reg_lambda=0.0005, audio_recon_lambda=0.00005,
+                   visual_recon_lambda=0.5)
+    ref = _ref_model(ref_cap, vocab, rec)
+    init = make_init(ref)
+    ours = make_ours(rec)
+
+    cap = args.steps or 10 ** 9
+
+    # ---- ours: the production jitted step, losses captured per step
+    cfg = TrainerConfig(batch_size=BATCH, lr=1e-4, weight_decay=1e-5,
+                        # bug-compat, same reason as train_ours: variable-T
+                        # corpus + the reference's unmasked attention and
+                        # batch-axis entropy quirk.
+                        mask_padded_features=False,
+                        compat_batch_axis_entropy=True, **lambdas)
+    tr = Trainer("ladder-parity", log_dir=None)
+    tr._optimizer = opt_lib.make_optimizer(cfg)
+    train_step, _ = tr._build_train_step(ours, cfg)
+    params = jax.tree.map(jnp.asarray, init)
+    opt_state = tr._optimizer.init(params)
+    rng = jax.random.PRNGKey(0)
+    train_loader, _ = loaders(False)
+    our_losses, full = [], []
+    t0 = time.time()
+    for i, b in enumerate(train_loader):
+        if i >= cap:
+            break
+        batch = {k: jnp.asarray(v) for k, v in b.items()
+                 if isinstance(v, np.ndarray)}
+        params, opt_state, m = train_step(params, opt_state, batch, rng)
+        our_losses.append(float(m["total"]))
+        mask = b.get("sample_mask")
+        full.append(bool(mask is None or np.asarray(mask).all()))
+    print(f"  ours epoch: {time.time() - t0:.0f}s "
+          f"({len(our_losses)} steps)", flush=True)
+
+    # ---- reference: eager torch step, same capture
+    loss_fn = RefBuilder(rec_type=rec, **lambdas)
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-4, weight_decay=1e-5,
+                           amsgrad=True)
+    ref.train()
+    train_loader, _ = loaders(False)
+    ref_losses = []
+    t0 = time.time()
+    for i, (audio, visual, captions, _b) in enumerate(_batches(train_loader)):
+        if i >= cap:
+            break
+        opt.zero_grad()
+        outputs, a_rec, v_rec = ref(audio, visual, captions)
+        loss, *_ = loss_fn(outputs, captions, audio, a_rec, visual, v_rec)
+        loss = loss.mean()
+        loss.backward()
+        torch.nn.utils.clip_grad_value_(ref.parameters(), clip_value=5.0)
+        opt.step()
+        ref_losses.append(float(loss))
+    print(f"  ref epoch: {time.time() - t0:.0f}s", flush=True)
+
+    pairs = [(o, r) for o, r, f in zip(our_losses, ref_losses, full) if f]
+    diffs = [abs(o - r) for o, r in pairs]
+    rels = [abs(o - r) / max(abs(r), 1e-9) for o, r in pairs]
+    return {
+        "rec": rec, "steps": len(our_losses), "full_steps": len(pairs),
+        "max_abs": max(diffs), "max_rel": max(rels),
+        "final_ours": pairs[-1][0], "final_ref": pairs[-1][1],
+        "first_ours": pairs[0][0], "first_ref": pairs[0][1],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     # Default 10, not the reference's 50: the reference's eager torch step
@@ -227,6 +322,18 @@ def main():
     ap.add_argument("--tolerance", type=float, default=0.35)
     ap.add_argument("--dry_run", action="store_true",
                     help="time ~20 train steps per side and exit")
+    ap.add_argument("--step_parity", action="store_true",
+                    help="per-step LOSS trajectory agreement at MSVD scale: "
+                         "train BOTH frameworks one epoch (video_audio/"
+                         "global — exercises the fused chunked-vocab loss "
+                         "and the custom-vjp recon scan vs eager torch) "
+                         "from identical converted init weights and record "
+                         "per-step total-loss pairs; appends a subsection")
+    ap.add_argument("--steps", type=int, default=0,
+                    help="step cap for --step_parity (0 = full epoch)")
+    ap.add_argument("--sp_rec", default="global",
+                    choices=("none", "local", "global"),
+                    help="reconstructor for --step_parity")
     args = ap.parse_args()
 
     import jax
@@ -276,7 +383,7 @@ def main():
                           dict(reg_lambda=0.0005,
                                audio_recon_lambda=0.0 if video_only else 0.00005,
                                visual_recon_lambda=0.5)))
-    sweep = sweep[: args.cells]
+    sweep = [] if args.step_parity else sweep[: args.cells]
 
     if args.dry_run:
         import torch
@@ -313,6 +420,40 @@ def main():
     if os.path.exists(args.state):
         state = json.load(open(args.state))
 
+    if args.step_parity:
+        def make_init(ref):
+            return {
+                "v_decoder": convert_decoder_state_dict(
+                    ref.v_decoder.state_dict()),
+                "a_decoder": convert_decoder_state_dict(
+                    ref.a_decoder.state_dict()),
+                "v_reconstructor": convert_reconstructor_state_dict(
+                    ref.v_reconstructor.state_dict()
+                    if ref.v_reconstructor else None),
+                "a_reconstructor": convert_reconstructor_state_dict(
+                    ref.a_reconstructor.state_dict()
+                    if ref.a_reconstructor else None),
+            }
+
+        def make_ours(rec):
+            return AVCaptioningDual(
+                vocab_size=len(vocab), teacher_forcing_ratio=1.0,
+                reconstructor_type=rec,
+                visual_decoder_config=DecoderConfig(
+                    in_feature_size=V_DIM, rnn_hidden_size=H,
+                    embedding_size=E, attn_size=A),
+                audio_decoder_config=DecoderConfig(
+                    in_feature_size=A_DIM, rnn_hidden_size=H,
+                    embedding_size=E, attn_size=A),
+            )
+
+        print("=== step parity (video_audio/global) ===", flush=True)
+        state["_step_parity"] = run_step_parity(
+            args, vocab, ref_cap, loaders, make_init, make_ours)
+        os.makedirs(os.path.dirname(args.state), exist_ok=True)
+        json.dump(state, open(args.state, "w"), indent=1)
+        print(json.dumps(state["_step_parity"]), flush=True)
+
     def write_out():
         lines = [
             "",
@@ -336,16 +477,19 @@ def main():
             "reference's dual beam is an unimplemented FIXME upstream "
             "(src/models/captioning.py:269-277).",
             "",
-            "Reading the numbers: at 10 epochs both sides are far from "
-            "convergence, so greedy captions are argmax-unstable — tiny "
-            "accumulated float drift (6k steps of torch-CPU vs XLA-CPU "
-            "arithmetic) flips near-tied argmaxes and the identical-captions "
-            "column is low by construction at this depth; per-epoch "
-            "LOSS-trajectory agreement from identical weights is the "
-            "step-semantics contract and is asserted directly in "
-            "tests/test_fit_parity.py, and the CONVERGED v1 ladder above "
-            "shows 0.46-0.79 caption agreement.  The per-cell score "
-            "tolerance below is the v2 acceptance bar.",
+            "Both bug-compat switches are ON for the two-sided comparison "
+            "(this corpus has variable frame counts, so ours' sane "
+            "defaults would train a semantically DIFFERENT model): "
+            "mask_padded_features=False — the reference attends zero-"
+            "padded frames (PARITY.md #3) — and "
+            "compat_batch_axis_entropy=True — the reference's entropy-"
+            "regularizer axis quirk.  With both on, the per-step loss "
+            "trajectories agree to float tolerance (see below).  An "
+            "earlier 10-epoch video_audio/none run WITHOUT these switches "
+            "measured ours CIDEr 0.118 / ref 0.251 / ours-beam 0.505 with "
+            "0.01 caption identity: two different-by-construction models "
+            "(that run measures the cost of the reference's quirks, not a "
+            "parity gap).",
             "",
             "| modality | reconstructor | "
             + " | ".join(f"ours {m} | ref {m}" for m in METRICS)
@@ -353,14 +497,35 @@ def main():
             "|" + "---|" * (2 + 2 * len(METRICS) + 2),
         ]
         for key, cell in state.items():
+            if key.startswith("_"):
+                continue
             tag, rec = key.split("/")
             o, r = cell["ours"], cell["ref"]
             cells_txt = " | ".join(f"{o[m]:.3f} | {r[m]:.3f}" for m in METRICS)
             lines.append(
                 f"| {tag} | {rec} | {cells_txt} | {cell['ours_beam']['CIDEr']:.3f} "
                 f"| {cell['agree']:.2f} |")
-        if len(state) >= 2:
-            cells = list(state.values())
+        sp = state.get("_step_parity")
+        if sp:
+            lines += [
+                "",
+                "Per-step LOSS-trajectory agreement at this scale "
+                "(video_audio/global — our PRODUCTION step: fused "
+                "chunked-vocab CE+entropy + custom-vjp recon scan, vs the "
+                f"reference's eager step; {sp['full_steps']} full-batch "
+                f"steps of one epoch from identical converted init "
+                "weights): "
+                f"max |ours - ref| {sp['max_abs']:.2e} "
+                f"(max relative {sp['max_rel']:.2e}); "
+                f"step-1 loss {sp['first_ours']:.4f} vs "
+                f"{sp['first_ref']:.4f}, "
+                f"final-step loss {sp['final_ours']:.4f} vs "
+                f"{sp['final_ref']:.4f}.  Padded final batches are "
+                "excluded (the reference's loss dilutes on padded sample "
+                "rows by construction; ours masks them, PARITY.md).",
+            ]
+        cells = [c for k, c in state.items() if not k.startswith("_")]
+        if len(cells) >= 2:
             max_diff = {m: max(abs(c["ours"][m] - c["ref"][m]) for c in cells)
                         for m in METRICS}
             oo = np.argsort([c["ours"]["CIDEr"] for c in cells])
@@ -430,7 +595,7 @@ def main():
         print(f"  cell wall: {(time.time() - t_cell) / 60:.1f} min", flush=True)
 
     write_out()
-    cells = list(state.values())
+    cells = [c for k, c in state.items() if not k.startswith("_")]
     if cells:
         worst = max(abs(c["ours"]["CIDEr"] - c["ref"]["CIDEr"]) for c in cells)
         print(f"max CIDEr divergence: {worst:.3f} (tolerance {args.tolerance})")
